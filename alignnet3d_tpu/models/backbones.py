@@ -1,0 +1,140 @@
+"""Point-cloud encoder backbones, TPU-first.
+
+The reference implements its per-point "shared MLP" as 1xC conv2d stacks
+(models/tp8.py:49-59) and DGCNN edge convs (tp8.py:30-46,
+utils/tf_util_dgcnn.py:638-706). On TPU every one of those is a dense layer
+over the channel axis: a ``(B*N, C) @ (C, F)`` matmul that XLA tiles onto
+the MXU, fused with bias/BN/ReLU. The N-wide maxpool is a single
+``jnp.max`` over the point axis.
+
+An optional Pallas kernel fuses the whole pointnet stage
+(``alignnet3d_tpu.ops.pointnet_kernels``); the XLA path is the default and
+the numerical reference.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from alignnet3d_tpu.models.batchnorm import EmaBatchNorm
+
+
+def _dense(features: int, dtype, name: str | None = None) -> nn.Dense:
+    # xavier-uniform kernels + zero bias match the reference init
+    # (tf_util.py:24-49: xavier_initializer, constant 0 biases).
+    return nn.Dense(
+        features,
+        kernel_init=nn.initializers.xavier_uniform(),
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class PointNetBackbone(nn.Module):
+    """Per-point shared-MLP stack + symmetric max over points.
+
+    Equivalent of reference ``_get_pointnet`` (tp8.py:49-59): each listed
+    layer is dense -> BN -> ReLU applied pointwise; the output is the
+    channel-wise max over all N points, shape (B, layer_sizes[-1]).
+    """
+
+    layer_sizes: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jax.Array, train: bool, momentum) -> jax.Array:
+        x = points.astype(self.dtype)
+        for i, width in enumerate(self.layer_sizes):
+            x = _dense(width, self.dtype, name=f"conv{i + 1}")(x)
+            x = EmaBatchNorm(dtype=self.dtype, name=f"bn{i + 1}")(x, train, momentum)
+            x = nn.relu(x)
+        return jnp.max(x, axis=1)
+
+
+class DGCNNBackbone(nn.Module):
+    """Dynamic-graph edge-conv stack (reference ``_get_dgcnn``, tp8.py:30-46).
+
+    knn on the raw xyz pairwise distances (k=20, tf_util_dgcnn.py:660-671),
+    edge features ``[x_i, x_j - x_i]`` (tf_util_dgcnn.py:674-706), conv
+    stack on edges, max over neighbors, final 1x1 conv, max over points.
+
+    The (B, N, N) pairwise-distance matrix is one batched matmul; top-k runs
+    on device via ``jax.lax.top_k``.
+    """
+
+    layer_sizes: Sequence[int]
+    k: int = 20
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jax.Array, train: bool, momentum) -> jax.Array:
+        assert len(self.layer_sizes) >= 2, "dgcnn needs >= 2 layers"
+        x = points.astype(self.dtype)
+        b, n, _ = x.shape
+        k = min(self.k, n)
+
+        # pairwise squared distances: -2 x x^T + |x|^2 + |x|^T^2
+        inner = jnp.einsum("bnd,bmd->bnm", x, x)
+        sq = jnp.sum(jnp.square(x), axis=-1)
+        neg_dist = 2.0 * inner - sq[:, :, None] - sq[:, None, :]
+        _, nn_idx = jax.lax.top_k(neg_dist, k)  # (B, N, k)
+
+        neighbors = jnp.take_along_axis(
+            x[:, :, None, :], nn_idx[..., None], axis=1
+        )  # gather per batch: (B, N, k, C)
+        central = x[:, :, None, :]
+        edge = jnp.concatenate(
+            [jnp.broadcast_to(central, neighbors.shape), neighbors - central],
+            axis=-1,
+        )
+
+        h = edge
+        for i, width in enumerate(self.layer_sizes[:-1]):
+            h = _dense(width, self.dtype, name=f"conv{i + 1}")(h)
+            h = EmaBatchNorm(dtype=self.dtype, name=f"bn{i + 1}")(h, train, momentum)
+            h = nn.relu(h)
+        h = jnp.max(h, axis=2)  # max over neighbors -> (B, N, F)
+        i = len(self.layer_sizes) - 1
+        h = _dense(self.layer_sizes[-1], self.dtype, name=f"conv{i + 1}")(h)
+        h = EmaBatchNorm(dtype=self.dtype, name=f"bn{i + 1}")(h, train, momentum)
+        h = nn.relu(h)
+        return jnp.max(h, axis=1)
+
+
+class MLPHead(nn.Module):
+    """FC stack with BN+ReLU on all but the last layer, dropout before the
+    final linear layer (reference ``get_mlp``, tp8.py:75-82).
+
+    ``dropout_keep`` is the KEEP probability, as in the reference configs
+    (e.g. 0.7 in s1transformer options).
+    """
+
+    layer_sizes: Sequence[int]
+    dropout_keep: float | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool, momentum) -> jax.Array:
+        x = x.astype(self.dtype)
+        for i, width in enumerate(self.layer_sizes[:-1]):
+            x = _dense(width, self.dtype, name=f"fc{i + 1}")(x)
+            x = EmaBatchNorm(dtype=self.dtype, name=f"bn{i + 1}")(x, train, momentum)
+            x = nn.relu(x)
+        if self.dropout_keep is not None:
+            x = nn.Dropout(rate=1.0 - self.dropout_keep, deterministic=not train)(x)
+        x = _dense(self.layer_sizes[-1], self.dtype, name=f"fc{len(self.layer_sizes)}")(x)
+        return x
+
+
+def make_backbone(backbone: str, layer_sizes: Sequence[int], dtype) -> nn.Module:
+    if backbone == "pointnet":
+        return PointNetBackbone(layer_sizes=tuple(layer_sizes), dtype=dtype)
+    if backbone == "dgcnn":
+        return DGCNNBackbone(layer_sizes=tuple(layer_sizes), dtype=dtype)
+    raise ValueError(f"unknown backbone {backbone!r}")

@@ -1,0 +1,241 @@
+"""Model forward/loss tests: shapes, siamese weight sharing, BN semantics,
+gradient flow (reference models/tp8.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alignnet3d_tpu.models.alignnet import AlignNet, ModelSpec
+from alignnet3d_tpu.models.batchnorm import EmaBatchNorm
+from alignnet3d_tpu.models.losses import LossSpec, get_loss
+
+B, N = 4, 64
+SPEC = ModelSpec(
+    num_points=N,
+    num_bins=8,
+    s1_backbone=(16, 32),
+    s1_mlp=(32,),
+    s2_backbone=(16, 32),
+    s2_mlp=(32,),
+    embedding=(16, 64),
+    remaining_mlp=(32,),
+)
+
+
+def _init(spec=SPEC):
+    model = AlignNet(spec)
+    rng = jax.random.PRNGKey(0)
+    pcs = jnp.zeros((B, N, 3))
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.PRNGKey(1)}, pcs, pcs, train=False
+    )
+    return model, variables
+
+
+def _batch(rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    return (
+        jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32),
+    )
+
+
+def test_forward_shapes():
+    model, variables = _init()
+    pcs1, pcs2 = _batch()
+    out = model.apply(variables, pcs1, pcs2, train=False)
+    assert out["pred_translations"].shape == (B, 3)
+    assert out["pred_s1_pc1centers"].shape == (B, 3)
+    assert out["pred_s2_pc2centers"].shape == (B, 3)
+    assert out["pred_pc1angle_logits"].shape == (B, 2 * SPEC.num_bins)
+    assert out["pred_remaining_angle_logits"].shape == (B, 2 * SPEC.num_bins)
+    for v in out.values():
+        assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_siamese_weight_sharing():
+    """Swapping the two inputs swaps the per-cloud outputs exactly — only
+    possible if both towers share weights (reference tp8.py:140-143)."""
+    model, variables = _init()
+    pcs1, pcs2 = _batch()
+    out_a = model.apply(variables, pcs1, pcs2, train=False)
+    out_b = model.apply(variables, pcs2, pcs1, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_a["pred_s2_pc1centers"]),
+        np.asarray(out_b["pred_s2_pc2centers"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a["pred_pc1angle_logits"]),
+        np.asarray(out_b["pred_pc2angle_logits"]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_translation_centered_on_s2_centers():
+    """pred_translations = head + (s2_center2 - s2_center1) (tp8.py:155):
+    translating pc2 by a constant shifts pred_translations by ~that amount
+    via the center difference."""
+    model, variables = _init()
+    pcs1, pcs2 = _batch()
+    out = model.apply(variables, pcs1, pcs2, train=False)
+    shift = jnp.asarray([5.0, -3.0, 0.0])
+    out_shifted = model.apply(variables, pcs1, pcs2 + shift, train=False)
+    delta_centers = np.asarray(
+        out_shifted["pred_s2_pc2centers"] - out["pred_s2_pc2centers"]
+    )
+    # stage centers are translation-equivariant up to BN nonlinearity on
+    # mean-centered input; they should move close to the shift
+    assert np.allclose(delta_centers, np.asarray(shift)[None, :], atol=1.0)
+
+
+def test_train_mode_updates_batch_stats():
+    model, variables = _init()
+    pcs1, pcs2 = _batch()
+    out, mutated = model.apply(
+        variables, pcs1, pcs2, train=True, momentum=0.5,
+        mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(old, new)
+    )
+
+
+def test_batchnorm_train_uses_batch_stats_eval_uses_ema():
+    bn = EmaBatchNorm()
+    x = jnp.asarray(np.random.default_rng(0).normal(3.0, 2.0, (512, 8)), jnp.float32)
+    variables = bn.init(jax.random.PRNGKey(0), x, train=False, momentum=0.9)
+    y, mutated = bn.apply(
+        variables, x, train=True, momentum=0.0, mutable=["batch_stats"]
+    )
+    # train output is normalized with batch stats: ~zero mean, unit var
+    assert abs(float(jnp.mean(y))) < 1e-4
+    assert abs(float(jnp.var(y)) - 1.0) < 2e-2
+    # momentum=0 -> EMA jumps straight to the batch stats
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["mean"]),
+        np.asarray(jnp.mean(x, axis=0)), rtol=1e-5,
+    )
+    # eval with those stats now also normalizes
+    y_eval = bn.apply(
+        {"params": variables["params"], "batch_stats": mutated["batch_stats"]},
+        x, train=False, momentum=0.9,
+    )
+    assert abs(float(jnp.mean(y_eval))) < 1e-3
+
+
+def test_batchnorm_ema_momentum_schedule():
+    bn = EmaBatchNorm()
+    x = jnp.ones((16, 4)) * 10.0
+    variables = bn.init(jax.random.PRNGKey(0), x, train=False, momentum=0.9)
+    _, mutated = bn.apply(
+        variables, x, train=True, momentum=0.5, mutable=["batch_stats"]
+    )
+    # ema = 0.5 * 0 + 0.5 * 10 = 5
+    np.testing.assert_allclose(np.asarray(mutated["batch_stats"]["mean"]), 5.0)
+
+
+LOSS_SPEC = LossSpec(num_bins=SPEC.num_bins, accept_inverted_angle=True)
+
+
+def _labels(rng_seed=3):
+    rng = np.random.default_rng(rng_seed)
+    return (
+        jnp.asarray(rng.normal(size=(B, 3)), jnp.float32),  # translations
+        jnp.asarray(rng.uniform(-np.pi, np.pi, (B, 1)), jnp.float32),  # rel_angles
+        jnp.asarray(rng.normal(size=(B, 3)), jnp.float32),  # pc1_centers
+        jnp.asarray(rng.normal(size=(B, 3)), jnp.float32),  # pc2_centers
+        jnp.asarray(rng.uniform(-np.pi, np.pi, (B, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(-np.pi, np.pi, (B, 1)), jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("loss_name", ["separate", "p2p"])
+def test_loss_finite_and_differentiable(loss_name):
+    model, variables = _init()
+    pcs1, pcs2 = _batch()
+    labels = _labels()
+    spec = LossSpec(
+        loss=loss_name, num_bins=SPEC.num_bins, accept_inverted_angle=True
+    )
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            pcs1, pcs2, train=False,
+        )
+        loss, aux = get_loss(pcs1, pcs2, *labels, out, spec=spec)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    assert any(float(jnp.max(jnp.abs(g))) > 0 for g in flat)
+
+
+def test_zero_error_gives_small_separate_loss():
+    """Feed end_points that exactly match the labels: every stage loss
+    should be ~0 except angle class CE at its floor (perfect logits)."""
+    labels = _labels()
+    translations, rel_angles, pc1c, pc2c, pc1a, pc2a = labels
+    nb = SPEC.num_bins
+    from alignnet3d_tpu.ops.angle_codec import angle2class
+
+    def perfect_logits(angles):
+        cls, res = angle2class(angles.reshape(-1), nb)
+        class_logits = jax.nn.one_hot(cls, nb) * 100.0
+        residuals = jnp.zeros((B, nb)).at[jnp.arange(B), cls].set(
+            res / (np.pi / nb)
+        )
+        return jnp.concatenate([class_logits, residuals], axis=1)
+
+    end_points = {
+        "pred_s1_pc1centers": pc1c,
+        "pred_s1_pc2centers": pc2c,
+        "pred_s2_pc1centers": pc1c,
+        "pred_s2_pc2centers": pc2c,
+        "pred_pc1angle_logits": perfect_logits(pc1a),
+        "pred_pc2angle_logits": perfect_logits(pc2a),
+        "pred_translations": translations,
+        "pred_remaining_angle_logits": None,
+    }
+    # remaining target = (pc2a - pc1a) - (pred2 - pred1); with near-perfect
+    # bin+residual decoding, pred diff ~ true diff so target ~ 0
+    end_points["pred_remaining_angle_logits"] = perfect_logits(
+        jnp.zeros((B, 1))
+    )
+    spec = LossSpec(num_bins=nb, accept_inverted_angle=False)
+    pcs1, pcs2 = _batch()
+    loss, aux = get_loss(
+        pcs1, pcs2, translations, rel_angles, pc1c, pc2c, pc1a, pc2a,
+        end_points, spec=spec,
+    )
+    assert float(aux["losses_stages/stage1_transl_loss"]) < 1e-6
+    assert float(aux["losses_stages/stage3_transl_loss"]) < 1e-6
+    assert float(aux["losses_stages/stage2_pc1_angle_residual_loss"]) < 1e-3
+    assert float(aux["losses_stages/stage3_angle_residual_loss"]) < 1e-3
+
+
+def test_inverted_angle_modes_differ():
+    """mode 'reference_max' keeps the larger of (theta, theta+pi) losses —
+    the reference tf.cond quirk (tp8.py:288); 'min' keeps the smaller."""
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.normal(size=(B, 2 * SPEC.num_bins)), jnp.float32)
+    angles = jnp.asarray(rng.uniform(-np.pi, np.pi, (B,)), jnp.float32)
+    from alignnet3d_tpu.models.losses import _angle_loss, _angle_losses
+
+    base = LossSpec(num_bins=SPEC.num_bins, accept_inverted_angle=True)
+    ref = _angle_losses(logits, angles, base)
+    fixed = _angle_losses(
+        logits, angles,
+        LossSpec(num_bins=SPEC.num_bins, accept_inverted_angle=True,
+                 inverted_angle_mode="min"),
+    )
+    l0 = _angle_loss(logits, angles, base)[0]
+    l180 = _angle_loss(logits, angles + np.pi, base)[0]
+    assert float(ref[0]) == pytest.approx(float(jnp.maximum(l0, l180)), abs=1e-6)
+    assert float(fixed[0]) == pytest.approx(float(jnp.minimum(l0, l180)), abs=1e-6)
