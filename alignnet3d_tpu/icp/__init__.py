@@ -1,0 +1,6 @@
+from alignnet3d_tpu.icp.p2point import (  # noqa: F401
+    icp_p2point_batch,
+    refine_predictions,
+    multistart_global_registration,
+)
+from alignnet3d_tpu.icp.runner import evaluate  # noqa: F401

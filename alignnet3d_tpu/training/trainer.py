@@ -1,0 +1,601 @@
+"""Train/eval driver — the TPU-native equivalent of reference train.py.
+
+Semantics preserved from the reference (train.py:187-545):
+- staircase LR decay with 1e-5 floor, Adam/Momentum optimizers;
+- scheduled BN momentum fed into the EMA BatchNorm each step;
+- per-epoch: shuffled drop-remainder training epoch, then a FULL val-set
+  eval producing eval.json + eval_180.json and the 8 pred_*.npy artifacts;
+- checkpoint cadence: rolling ``model.ckpt`` every 2 epochs, numbered
+  ``model-<E>`` every 5 / every epoch if evaluation.save_every_epoch / last;
+- auto-resume from the rolling checkpoint with epoch-alignment assertion;
+- transfer learning: restore everything except the step counter from
+  ``training.pretraining.model``, then an initial eval tagged 'pretr';
+- eval-time prediction composition: angle = decode(pc2) - decode(pc1) +
+  decode(remaining) with the reference's unscaled-residual decoder;
+- timing mode: 10 repeats at batch size 32 reporting per-sample latency.
+
+TPU-first changes:
+- ONE jit-compiled train step with donated state; input jitter runs on
+  device (jax.random) instead of host numpy;
+- batches come from the PackedDataset + background prefetch (the reference
+  does per-sample file IO inside the step loop, SURVEY.md §3.1);
+- eval pads the final partial batch to keep XLA shapes static and trims
+  on host (the reference feeds a stale-tail batch, train.py:432-451);
+- SPMD via the ('dp','mp') mesh: batch sharded over dp, wide layers over
+  mp; XLA inserts gradient psums (parallel/mesh.py);
+- checkpoints are flax msgpack snapshots of the full TrainState (params,
+  BN stats, optimizer moments, step) — same dual-cadence scheme.
+- scalar metrics go to JSONL event files (train/val/val_180) instead of
+  TensorBoard protobufs; same tags, greppable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import json
+import logging
+import os
+import time
+from functools import partial
+from typing import Any
+
+import flax
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from alignnet3d_tpu.data import provider
+from alignnet3d_tpu.evaluation import metrics as evaluation
+from alignnet3d_tpu.geometry import get_mat_angle
+from alignnet3d_tpu.models.alignnet import AlignNet, ModelSpec
+from alignnet3d_tpu.models.losses import LossSpec, get_loss
+from alignnet3d_tpu.ops.angle_codec import class_logits_to_angle_np
+from alignnet3d_tpu.parallel import mesh as meshlib
+from alignnet3d_tpu.training import schedules
+
+logger = logging.getLogger("alignnet3d_tpu")
+
+
+def setup_logging(logdir: str):
+    """stdout + DEBUG file log with timestamp-suffixed rollover
+    (reference train.py:84-111)."""
+    os.makedirs(logdir, exist_ok=True)
+    root = logging.getLogger("alignnet3d_tpu")
+    root.setLevel(logging.DEBUG)
+    root.handlers = [h for h in root.handlers if not isinstance(
+        h, (logging.StreamHandler, logging.FileHandler))]
+    fmt = logging.Formatter(
+        "%(asctime)s %(name)-12s %(levelname)-8s %(message)s", "%Y-%m-%d %H:%M:%S"
+    )
+    sh = logging.StreamHandler()
+    sh.setLevel(logging.INFO)
+    sh.setFormatter(fmt)
+    root.addHandler(sh)
+    logfile = f"{logdir}/out.log"
+    if os.path.exists(logfile):
+        datestr = datetime.datetime.today().strftime("%Y-%m-%d_%H-%M-%S")
+        logfile = f"{logfile[:-4]}_{datestr}.log"
+    fh = logging.FileHandler(logfile)
+    fh.setLevel(logging.DEBUG)
+    fh.setFormatter(fmt)
+    root.addHandler(fh)
+
+
+class ScalarWriter:
+    """JSONL scalar event writer — the TB-summary equivalent
+    (tags match reference train.py:517-531)."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self.path = path
+
+    def write(self, step: int, scalars: dict):
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"step": int(step), **{
+                k: float(v) for k, v in scalars.items()
+            }}) + "\n")
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: Any
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class Trainer:
+    cfg: Any
+    seed: int = 0
+    use_mesh: bool | None = None  # None = auto (mesh if >1 device configured)
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.spec = ModelSpec.from_config(cfg)
+        self.loss_spec = LossSpec.from_config(cfg)
+        self.model = AlignNet(self.spec)
+        self.logdir = cfg.logging.logdir
+        self.batch_size = cfg.training.batch_size
+
+        self.train_indices = provider.getDataFiles(
+            f"{cfg.data.basepath}/split/train.txt"
+        )
+        self.val_indices = provider.getDataFiles(
+            f"{cfg.data.basepath}/split/val.txt"
+        )
+        self.num_batches_per_epoch = len(self.train_indices) // self.batch_size
+        self.dataset = provider.PackedDataset(cfg.data.basepath)
+
+        mesh_cfg = cfg.tpu.mesh if cfg.has("tpu") else None
+        dp = mesh_cfg.dp if mesh_cfg else -1
+        mp = mesh_cfg.mp if mesh_cfg else 1
+        self.mesh = meshlib.make_mesh(dp=dp, mp=mp)
+        if self.use_mesh is None:
+            self.use_mesh = self.mesh.devices.size > 1
+
+        self.tx = self._make_optimizer()
+        self._jit_cache: dict = {}
+        self._data_rng = np.random.default_rng(self.seed + 1)
+        self._jit_rng = jax.random.PRNGKey(self.seed + 2)
+
+    # ------------------------------------------------------------- building
+
+    def _make_optimizer(self):
+        cfg = self.cfg
+        nbpe = max(1, self.num_batches_per_epoch)
+        lr_fn = lambda count: schedules.learning_rate(  # noqa: E731
+            jnp.asarray(count), cfg, nbpe
+        )
+        name = cfg.training.optimizer.optimizer
+        if name == "adam":
+            return optax.adam(learning_rate=lr_fn)
+        if name == "momentum":
+            return optax.sgd(learning_rate=lr_fn,
+                             momentum=cfg.training.optimizer.momentum)
+        raise ValueError(f"Invalid optimizer {name!r}")
+
+    def init_state(self) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        pcs = jnp.zeros((2, self.spec.num_points, 3), jnp.float32)
+        variables = self.model.init(
+            {"params": rng, "dropout": jax.random.PRNGKey(self.seed + 7)},
+            pcs, pcs, train=False,
+        )
+        params = variables["params"]
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(params),
+        )
+
+    # ------------------------------------------------------------ jitted fns
+
+    def _train_step_fn(self, state: TrainState, batch, rng):
+        cfg = self.cfg
+        nbpe = max(1, self.num_batches_per_epoch)
+        pcs1, pcs2, translations, rel_angles, c1, c2, a1, a2 = batch
+        bn_m = schedules.bn_decay(state.step, cfg, nbpe)
+        lr = schedules.learning_rate(state.step, cfg, nbpe)
+
+        j1, j2, drop = jax.random.split(rng, 3)
+        # device-side jitter, distribution of reference provider.py:60-71
+        pcs1 = pcs1 + jnp.clip(
+            0.01 * jax.random.normal(j1, pcs1.shape), -0.05, 0.05
+        )
+        pcs2 = pcs2 + jnp.clip(
+            0.01 * jax.random.normal(j2, pcs2.shape), -0.05, 0.05
+        )
+
+        def loss_fn(params):
+            out, mutated = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                pcs1, pcs2, train=True, momentum=bn_m,
+                mutable=["batch_stats"], rngs={"dropout": drop},
+            )
+            loss, aux = get_loss(
+                pcs1, pcs2, translations, rel_angles, c1, c2, a1, a2, out,
+                spec=self.loss_spec,
+            )
+            return loss, (aux, mutated["batch_stats"])
+
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = self.tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {
+            "losses/loss": loss,
+            "hyperparameters/learning_rate": lr,
+            "hyperparameters/bn_decay": bn_m,
+            **aux,
+        }
+        return new_state, metrics
+
+    def _eval_step_fn(self, state: TrainState, batch):
+        pcs1, pcs2, translations, rel_angles, c1, c2, a1, a2 = batch
+        out = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pcs1, pcs2, train=False,
+        )
+        loss, _ = get_loss(
+            pcs1, pcs2, translations, rel_angles, c1, c2, a1, a2, out,
+            spec=self.loss_spec,
+        )
+        return loss, out
+
+    def _get_jitted(self, name: str):
+        if name in self._jit_cache:
+            return self._jit_cache[name]
+        if self.use_mesh:
+            dummy = self.init_state()
+            st_shard = meshlib.state_shardings(dummy, self.mesh)
+            b_shard = meshlib.batch_sharding(self.mesh)
+            rep = meshlib.replicated(self.mesh)
+            del dummy
+            batch_shards = (b_shard,) * 8
+            train = jax.jit(
+                self._train_step_fn,
+                in_shardings=(st_shard, batch_shards, rep),
+                out_shardings=(st_shard, rep),
+                donate_argnums=(0,),
+            )
+            evalf = jax.jit(
+                self._eval_step_fn,
+                in_shardings=(st_shard, batch_shards),
+                out_shardings=(rep, rep),
+            )
+            self._jit_cache["state_shardings"] = st_shard
+        else:
+            train = jax.jit(self._train_step_fn, donate_argnums=(0,))
+            evalf = jax.jit(self._eval_step_fn)
+        self._jit_cache["train"] = train
+        self._jit_cache["eval"] = evalf
+        return self._jit_cache[name]
+
+    # ---------------------------------------------------------- checkpoints
+
+    def _ckpt_path(self, name: str) -> str:
+        return os.path.join(self.logdir, f"{name}.msgpack")
+
+    def save_checkpoint(self, state: TrainState, name: str):
+        state = jax.device_get(state)
+        path = self._ckpt_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(state))
+        logger.info(f"Model saved in file: {path}")
+        return path
+
+    def restore_checkpoint(self, state: TrainState, path: str,
+                           except_step: bool = False) -> TrainState:
+        with open(path, "rb") as f:
+            restored = flax.serialization.from_bytes(jax.device_get(state), f.read())
+        if except_step:
+            restored = restored.replace(step=jax.device_get(state).step)
+        return jax.device_put(restored)
+
+    # ------------------------------------------------------------- epochs
+
+    def _make_batch(self, indices):
+        return self.dataset.sample_batch(
+            indices, self.spec.num_points, self._data_rng
+        )
+
+    def _next_rng(self):
+        self._jit_rng, sub = jax.random.split(self._jit_rng)
+        return sub
+
+    def train_one_epoch(self, state: TrainState, epoch: int,
+                        writer: ScalarWriter):
+        """Shuffled drop-remainder epoch (reference train.py:335-383)."""
+        train_fn = self._get_jitted("train")
+        idxs = np.asarray(self.train_indices).copy()
+        self._data_rng.shuffle(idxs)
+        num_batches = len(idxs) // self.batch_size
+        prefetch = self.cfg.tpu.prefetch_batches if self.cfg.has("tpu") else 2
+
+        def make(i):
+            return self._make_batch(
+                idxs[i * self.batch_size:(i + 1) * self.batch_size]
+            )
+
+        loss_sum = 0.0
+        last_metrics = None
+        for batch in provider.PrefetchIterator(make, num_batches, prefetch):
+            state, metrics = train_fn(state, batch, self._next_rng())
+            last_metrics = metrics
+            loss_sum += float(metrics["losses/loss"])
+        if last_metrics is not None:
+            writer.write(int(jax.device_get(state.step)), last_metrics)
+        if num_batches:
+            logger.info("train mean loss: %f" % (loss_sum / float(num_batches)))
+        return state
+
+    def eval_one_epoch(self, state: TrainState, epoch, eval_only: bool,
+                       do_timings: bool = False, override_batch_size=None,
+                       refine_icp: bool = False, icp_its: int = 30,
+                       use_old_results: bool = False,
+                       val_writer: ScalarWriter | None = None,
+                       val_writer_180: ScalarWriter | None = None):
+        """Full val-set eval + artifacts (reference train.py:386-545)."""
+        cfg = self.cfg
+        batch_size = override_batch_size or self.batch_size
+        eval_fn = (
+            self._get_jitted("eval") if override_batch_size is None
+            else jax.jit(self._eval_step_fn)
+        )
+        val_idxs = list(self.val_indices)
+        n_val = len(val_idxs)
+        num_batches = int(np.ceil(n_val / batch_size))
+        num_full_batches = n_val // batch_size
+
+        eval_dir = f"{self.logdir}/val/eval{str(epoch).zfill(6)}"
+        base_eval_dir = eval_dir
+        if refine_icp:
+            suffix = f"_{icp_its}" if icp_its != 30 else ""
+            eval_dir = f"{eval_dir}/refined_p2p{suffix}"
+        if os.path.isdir(eval_dir):
+            os.rename(eval_dir, f"{eval_dir}_backup_{int(time.time())}")
+        os.makedirs(eval_dir, exist_ok=True)
+
+        P = {
+            k: np.empty((n_val, d), dtype=np.float32)
+            for k, d in [
+                ("pred_translations", 3), ("pred_angles", 1),
+                ("pred_s1_pc1centers", 3), ("pred_s1_pc2centers", 3),
+                ("pred_s2_pc1centers", 3), ("pred_s2_pc2centers", 3),
+                ("pred_s2_pc1angles", 1), ("pred_s2_pc2angles", 1),
+            ]
+        }
+        G = {
+            "gt_translations": np.empty((n_val, 3), np.float32),
+            "gt_angles": np.empty((n_val, 1), np.float32),
+            "gt_pc1centers": np.empty((n_val, 3), np.float32),
+        }
+
+        if use_old_results:
+            P["pred_translations"] = np.load(
+                f"{base_eval_dir}/pred_translations.npy"
+            )
+            P["pred_angles"] = np.load(f"{base_eval_dir}/pred_angles.npy")
+            P["pred_s2_pc1centers"] = np.load(
+                f"{base_eval_dir}/pred_s2_pc1centers.npy"
+            )
+
+        nb = self.spec.num_bins
+        loss_sum, cumulated_times = 0.0, 0.0
+        for batch_idx in range(num_batches):
+            start = batch_idx * batch_size
+            end = min(start + batch_size, n_val)
+            actual = end - start
+            take = val_idxs[start:end]
+            # pad to full batch to keep shapes static (reference feeds a
+            # stale tail instead, train.py:432-451)
+            padded = take + [val_idxs[0]] * (batch_size - actual)
+            batch = self._make_batch(padded)
+            if not use_old_results:
+                t0 = time.time()
+                loss_val, out = eval_fn(state, batch)
+                out = jax.device_get(out)
+                loss_val = float(loss_val)
+                cumulated_times += time.time() - t0
+
+                if actual == batch_size:
+                    loss_sum += loss_val
+                ang1 = class_logits_to_angle_np(
+                    out["pred_pc1angle_logits"][:actual], nb
+                )
+                ang2 = class_logits_to_angle_np(
+                    out["pred_pc2angle_logits"][:actual], nb
+                )
+                angr = class_logits_to_angle_np(
+                    out["pred_remaining_angle_logits"][:actual], nb
+                )
+                P["pred_translations"][start:end] = out["pred_translations"][:actual]
+                P["pred_angles"][start:end, 0] = ang2 - ang1 + angr
+                P["pred_s1_pc1centers"][start:end] = out["pred_s1_pc1centers"][:actual]
+                P["pred_s1_pc2centers"][start:end] = out["pred_s1_pc2centers"][:actual]
+                P["pred_s2_pc1centers"][start:end] = out["pred_s2_pc1centers"][:actual]
+                P["pred_s2_pc2centers"][start:end] = out["pred_s2_pc2centers"][:actual]
+                P["pred_s2_pc1angles"][start:end, 0] = ang1
+                P["pred_s2_pc2angles"][start:end, 0] = ang2
+            G["gt_translations"][start:end] = batch[2][:actual]
+            G["gt_angles"][start:end] = batch[3][:actual]
+            G["gt_pc1centers"][start:end] = batch[4][:actual]
+
+        if refine_icp:
+            from alignnet3d_tpu.icp import refine_predictions
+
+            refined, icp_time = refine_predictions(
+                cfg, val_idxs,
+                P["pred_translations"], P["pred_angles"],
+                P["pred_s2_pc1centers"], its=icp_its, dataset=self.dataset,
+            )
+            P["pred_translations"] = refined["translations"]
+            P["pred_angles"] = refined["angles"]
+            # ICP transforms are world-frame: rotation center resets to the
+            # origin (reference train.py:483-484)
+            P["pred_s2_pc1centers"] = np.zeros_like(P["pred_s2_pc1centers"])
+            cumulated_times += icp_time
+
+        mean_loss = loss_sum / num_full_batches if num_full_batches else 0.0
+        mean_time = cumulated_times / float(n_val)
+
+        if do_timings:
+            print(f"Timing bs={batch_size}: {mean_time}")
+        elif cfg.evaluation.has("special") and cfg.evaluation.special.mode == "held":
+            evaluation.evaluate_held(
+                cfg, val_idxs, P["pred_translations"], P["pred_angles"],
+                G["gt_translations"], G["gt_angles"], eval_dir=eval_dir,
+                mean_time=mean_time, metas=self.dataset.metas(val_idxs),
+            )
+        else:
+            metas = self.dataset.metas(val_idxs)
+            global_step = int(jax.device_get(state.step))
+            for accept_inverted, writer in (
+                (False, val_writer), (True, val_writer_180)
+            ):
+                eval_dict = evaluation.evaluate(
+                    cfg, val_idxs, P["pred_translations"], P["pred_angles"],
+                    G["gt_translations"], G["gt_angles"],
+                    P["pred_s2_pc1centers"], G["gt_pc1centers"],
+                    eval_dir=eval_dir, accept_inverted_angle=accept_inverted,
+                    mean_time=mean_time, metas=metas,
+                )
+                lv = " ".join(f"{a * 100.0:.2f}%" for a in eval_dict.corr_levels)
+                lt = " ".join(
+                    f"{a * 100.0:.2f}%" for a in eval_dict.corr_levels_translation
+                )
+                la = " ".join(
+                    f"{a * 100.0:.2f}%" for a in eval_dict.corr_levels_angles
+                )
+                logger.info(
+                    f"Mean translation distance: {eval_dict.mean_dist_translation},"
+                    f" Mean angle distance: {eval_dict.mean_dist_angle},"
+                    f" Levels: {lv}, Translation levels: {lt},"
+                    f" Angle levels: {la}, Mean ex. time: {mean_time:.5f}"
+                )
+                if not eval_only and writer is not None:
+                    writer.write(global_step, {
+                        "losses/loss": mean_loss,
+                        "accuracy/t_a_mean_dist": eval_dict.mean_dist_translation,
+                        "accuracy/t_b_1cm": eval_dict.corr_levels_translation[0],
+                        "accuracy/t_c_10cm": eval_dict.corr_levels_translation[1],
+                        "accuracy/t_d_1m": eval_dict.corr_levels_translation[2],
+                        "accuracy/a_a_mean_dist": eval_dict.mean_dist_angle,
+                        "accuracy/a_b_1d": eval_dict.corr_levels_angles[0],
+                        "accuracy/a_c_5d": eval_dict.corr_levels_angles[1],
+                        "accuracy/a_d_10d": eval_dict.corr_levels_angles[2],
+                        "accuracy/o_b_1cm": eval_dict.corr_levels[0],
+                        "accuracy/o_c_10cm": eval_dict.corr_levels[1],
+                        "accuracy/o_d_1m": eval_dict.corr_levels[2],
+                    })
+
+        for name, arr in P.items():
+            np.save(f"{eval_dir}/{name}.npy", arr)
+        logger.info("val mean loss: %f" % mean_loss)
+        return mean_loss
+
+    # --------------------------------------------------------------- driver
+
+    def train(self, eval_only: bool = False, eval_epoch=None,
+              refine_icp: bool = False, icp_its: int = 30,
+              use_old_results: bool = False, do_timings: bool = False,
+              override_batch_size=None, eval_only_model_to_load=None):
+        """Main entry (reference train.py:187-332)."""
+        cfg = self.cfg
+        setup_logging(self.logdir)
+        # verbatim copy of the effective config into the logdir
+        # (reference train.py:46-50)
+        from alignnet3d_tpu.config import save_config
+
+        configcopy = f"{self.logdir}/config.json"
+        if os.path.exists(configcopy):
+            datestr = datetime.datetime.today().strftime("%Y-%m-%d_%H-%M-%S")
+            configcopy = f"{configcopy[:-5]}_{datestr}.json"
+        try:
+            save_config(configcopy)
+        except Exception:
+            pass
+
+        train_writer = ScalarWriter(f"{self.logdir}/train/scalars.jsonl")
+        val_writer = ScalarWriter(f"{self.logdir}/val/scalars.jsonl")
+        val_writer_180 = ScalarWriter(f"{self.logdir}/val_180/scalars.jsonl")
+
+        state = self.init_state()
+        start_epoch = 0
+
+        if eval_only:
+            model_dir = eval_only_model_to_load or self.logdir
+            if not use_old_results and not do_timings:
+                path = os.path.join(model_dir, f"model-{eval_epoch}.msgpack")
+                assert os.path.isfile(path), path
+                state = self.restore_checkpoint(state, path)
+                restored = int(jax.device_get(state.step))
+                if eval_only_model_to_load is None and self.num_batches_per_epoch:
+                    assert restored % self.num_batches_per_epoch == 0
+                    assert restored // self.num_batches_per_epoch - 1 == int(
+                        eval_epoch
+                    ), (restored, eval_epoch)
+            start_epoch = int(eval_epoch)
+            logger.info(f"Evaluating at epoch {start_epoch}")
+        else:
+            rolling = self._ckpt_path("model.ckpt")
+            if os.path.isfile(rolling):
+                state = self.restore_checkpoint(state, rolling)
+                restored = int(jax.device_get(state.step))
+                assert restored % self.num_batches_per_epoch == 0
+                start_epoch = restored // self.num_batches_per_epoch
+                logger.info(f"Continuing training at epoch {start_epoch}")
+            elif cfg.training.pretraining.model != "":
+                pre = cfg.training.pretraining.model
+                if not pre.endswith(".msgpack"):
+                    pre = pre + ".msgpack"
+                assert os.path.isfile(pre), pre
+                state = self.restore_checkpoint(state, pre, except_step=True)
+                assert int(jax.device_get(state.step)) == 0
+                logger.info(
+                    f"Pre-trained weights loaded from {pre},"
+                    " starting initial evaluation"
+                )
+                self.eval_one_epoch(
+                    state, "pretr", eval_only=False,
+                    val_writer=val_writer, val_writer_180=val_writer_180,
+                )
+                logger.info("Initial evaluation finished")
+
+        try:
+            start = time.time()
+            for epoch in range(start_epoch, cfg.training.num_epochs):
+                logger.info("**** EPOCH %03d ****" % epoch)
+                if not eval_only:
+                    state = self.train_one_epoch(state, epoch, train_writer)
+                if do_timings:
+                    for _ in range(10):
+                        self.eval_one_epoch(
+                            state, epoch, eval_only=eval_only,
+                            do_timings=True,
+                            override_batch_size=override_batch_size,
+                        )
+                else:
+                    self.eval_one_epoch(
+                        state, epoch, eval_only=eval_only,
+                        refine_icp=refine_icp, icp_its=icp_its,
+                        use_old_results=use_old_results,
+                        val_writer=val_writer, val_writer_180=val_writer_180,
+                    )
+                if eval_only:
+                    break
+
+                was_last = epoch == cfg.training.num_epochs - 1
+                if epoch % 2 == 0 or was_last:
+                    self.save_checkpoint(state, "model.ckpt")
+                if (epoch % 5 == 0 or was_last
+                        or cfg.evaluation.save_every_epoch):
+                    self.save_checkpoint(state, f"model-{epoch}")
+
+                elapsed = time.time() - start
+                remaining = elapsed / (epoch - start_epoch + 1) * (
+                    cfg.training.num_epochs - epoch - 1
+                )
+                logger.info(
+                    f"Finished epoch {epoch}."
+                    f" Time elapsed: {datetime.timedelta(seconds=elapsed)},"
+                    f" Time remaining: {datetime.timedelta(seconds=remaining)}"
+                )
+            logger.info("Finished Training")
+        except KeyboardInterrupt:
+            logger.info("Interrupted")
+        return state

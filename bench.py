@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline benchmark: aligned point-cloud pairs / sec / chip.
+
+Batched inference of the flagship AlignNet model (SynthCars-scale: N=512
+points, 50 angle bins, bfloat16 compute) on the available accelerator.
+Prints ONE JSON line. North-star baseline (BASELINE.md): 10,000
+pairs/sec/chip on TPU v5e — ``vs_baseline`` is pairs_per_sec / 10,000.
+
+Measurement notes: on this box the TPU is reached through a tunnel where
+``block_until_ready`` does not actually block and each dispatch carries
+~25 ms RTT. The benchmark therefore runs N_ITERS forwards CHAINED inside
+one jitted ``lax.scan`` (each iteration's input is perturbed by the
+previous output, so nothing can be elided) and forces one host readback;
+the per-call overhead then amortizes below 2%.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_ITERS = 50
+BATCH = 1024
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from alignnet3d_tpu.config import config_from_dict
+    from alignnet3d_tpu.models.alignnet import AlignNet, ModelSpec
+
+    cfg = config_from_dict({
+        "model": {
+            "num_points": 512,
+            "options": {
+                "angle_factor": 1.0,
+                "early_stage_factor": 0.5,
+                "s1transformer": [[64, 128, 256], [[512, 256], 0.7]],
+                "s2transformer": [[64, 128, 512], [[512, 256], 0.7]],
+                "embedding": [64, 128, 1024],
+                "remaining_transform_prediction": [[512, 256], 0.7],
+            },
+            "angles": {"num_bins": 50, "accept_inverted_angle": True},
+        },
+        "tpu": {"compute_dtype": "bfloat16"},
+    })
+    spec = ModelSpec.from_config(cfg)
+    model = AlignNet(spec)
+
+    B, N = BATCH, spec.num_points
+    rng = np.random.default_rng(0)
+    pcs1 = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+    pcs2 = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        pcs1[:2], pcs2[:2], train=False,
+    )
+
+    @partial(jax.jit, static_argnums=(3,))
+    def chained(v, a, b, n):
+        def body(carry, _):
+            a, b = carry
+            out = model.apply(v, a, b, train=False)
+            delta = out["pred_translations"][:, None, :] * 1e-6
+            return (a + delta, b - delta), out["pred_translations"][0, 0]
+
+        _, probes = jax.lax.scan(body, (a, b), None, length=n)
+        return probes
+
+    # warmup + compile (host readback forces completion)
+    np.asarray(chained(variables, pcs1, pcs2, N_ITERS))
+
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chained(variables, pcs1, pcs2, N_ITERS))
+        best = min(best, time.perf_counter() - t0)
+
+    pairs_per_sec = B * N_ITERS / best
+    print(json.dumps({
+        "metric": "align_pairs_per_sec",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / 10000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
