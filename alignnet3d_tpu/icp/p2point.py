@@ -47,7 +47,9 @@ def _nn_correspondences(src, dst, dst_mask):
             - 2.0 * chunk @ dst.T
             + jnp.sum(dst ** 2, axis=1)[None, :]
         )
-        d2 = d2 + d2_invalid[None, :]
+        # |a-b|^2 via expansion can go slightly negative at convergence —
+        # clamp so downstream sqrt stays finite
+        d2 = jnp.maximum(d2, 0.0) + d2_invalid[None, :]
         idx = jnp.argmin(d2, axis=1)
         return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
 

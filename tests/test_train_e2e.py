@@ -1,0 +1,154 @@
+"""End-to-end CLI tests on a generated fixture dataset: train -> artifacts
+-> resume -> eval_only -> pretraining restore. These exercise the full
+provider -> model -> loss -> metrics stack on the virtual 8-device mesh
+(SURVEY.md §4c/e)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from alignnet3d_tpu.data.synthetic import generate_dataset
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    base = str(root / "SynthE2E")
+    generate_dataset(base, num_train=32, num_val=8, seed=11, vres=16, hres=180)
+    cfg = {
+        "data": {"basepath": base},
+        "logging": {"basedir": str(root / "runs")},
+        "model": {
+            "num_points": 64, "backbone": "pointnet",
+            "options": {
+                "angle_factor": 1.0, "early_stage_factor": 0.5,
+                "s1transformer": [[16, 32], [[32], 0.7]],
+                "s2transformer": [[16, 32], [[32], 0.7]],
+                "embedding": [16, 64],
+                "remaining_transform_prediction": [[32], 0.7],
+            },
+            "angles": {"num_bins": 8, "accept_inverted_angle": True},
+        },
+        "training": {"batch_size": 8, "num_epochs": 2,
+                     "learning_rate": 0.005},
+        "evaluation": {"save_every_epoch": True},
+    }
+    cfg_path = str(root / "E2E.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    return root, cfg_path, base
+
+
+def _run(cfg_path, *args):
+    from alignnet3d_tpu.cli import main
+
+    main([*args, "--config", cfg_path])
+
+
+def test_train_produces_artifacts(workspace):
+    root, cfg_path, base = workspace
+    _run(cfg_path, "train")
+    logdir = root / "runs" / "E2E"
+    assert (logdir / "model.ckpt.msgpack").is_file()
+    assert (logdir / "model-0.msgpack").is_file()
+    assert (logdir / "model-1.msgpack").is_file()
+    assert (logdir / "config.json").is_file()
+    assert (logdir / "out.log").is_file()
+    eval_dir = logdir / "val" / "eval000001"
+    for f in ("eval.json", "eval_180.json", "pred_translations.npy",
+              "pred_angles.npy", "pred_s2_pc1centers.npy",
+              "pred_s2_pc1angles.npy"):
+        assert (eval_dir / f).is_file(), f
+    ev = json.load(open(eval_dir / "eval.json"))
+    assert ev["num"] == 8
+    assert 0 <= ev["corr_levels"][2] <= 1
+    preds = np.load(eval_dir / "pred_translations.npy")
+    assert preds.shape == (8, 3) and np.all(np.isfinite(preds))
+    # scalar event streams exist
+    train_scalars = [
+        json.loads(line)
+        for line in open(logdir / "train" / "scalars.jsonl")
+    ]
+    assert "losses/loss" in train_scalars[-1]
+    assert "hyperparameters/learning_rate" in train_scalars[-1]
+    val_scalars = [
+        json.loads(line) for line in open(logdir / "val" / "scalars.jsonl")
+    ]
+    assert "accuracy/o_b_1cm" in val_scalars[-1]
+
+
+def test_resume_continues_from_checkpoint(workspace, caplog):
+    root, cfg_path, base = workspace
+    cfg = json.load(open(cfg_path))
+    cfg["training"]["num_epochs"] = 3
+    json.dump(cfg, open(cfg_path, "w"))
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="alignnet3d_tpu"):
+        _run(cfg_path, "train")
+    assert any("Continuing training at epoch 2" in r.message
+               for r in caplog.records)
+    assert (root / "runs" / "E2E" / "model-2.msgpack").is_file()
+
+
+def test_eval_only_restores_numbered_checkpoint(workspace):
+    root, cfg_path, base = workspace
+    _run(cfg_path, "eval_only", "--eval_epoch", "2")
+    assert (root / "runs" / "E2E" / "val" / "eval000002").is_dir()
+
+
+def test_eval_only_missing_epoch_asserts(workspace):
+    root, cfg_path, base = workspace
+    with pytest.raises(AssertionError):
+        _run(cfg_path, "eval_only", "--eval_epoch", "77")
+
+
+def test_pretraining_restore_runs_initial_eval(workspace, caplog):
+    root, cfg_path, base = workspace
+    cfg = json.load(open(cfg_path))
+    cfg["training"]["pretraining"] = {
+        "model": str(root / "runs" / "E2E" / "model-2")
+    }
+    cfg["training"]["num_epochs"] = 1
+    pre_path = str(root / "Pre.json")
+    json.dump(cfg, open(pre_path, "w"))
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="alignnet3d_tpu"):
+        _run(pre_path, "train")
+    assert any("Pre-trained weights loaded" in r.message for r in caplog.records)
+    # initial eval tagged 'pretr'; zfill(6) pads to '0pretr'
+    # (reference train.py:292, 399)
+    assert (root / "runs" / "Pre" / "val" / "eval00pretr").is_dir() or (
+        root / "runs" / "Pre" / "val" / "eval0pretr"
+    ).is_dir()
+    assert (root / "runs" / "Pre" / "model-0.msgpack").is_file()
+
+
+def test_checkpoint_roundtrip_preserves_predictions(workspace):
+    """Restoring model-2 must reproduce eval000002's predictions exactly."""
+    root, cfg_path, base = workspace
+    from alignnet3d_tpu.config import load_config
+    from alignnet3d_tpu.training import Trainer
+
+    cfg = load_config(cfg_path)
+    trainer = Trainer(cfg, seed=0)
+    state = trainer.init_state()
+    state = trainer.restore_checkpoint(
+        state, str(root / "runs" / "E2E" / "model-2.msgpack")
+    )
+    import jax
+
+    assert int(jax.device_get(state.step)) == 3 * (32 // 8)
+    before = np.load(
+        root / "runs" / "E2E" / "val" / "eval000002" / "pred_translations.npy"
+    )
+    # re-run eval through the trainer and compare
+    trainer.eval_one_epoch(state, "roundtrip", eval_only=True)
+    after = np.load(
+        root / "runs" / "E2E" / "val" / "evalroundtrip" /
+        "pred_translations.npy"
+    )
+    np.testing.assert_allclose(before, after, atol=1e-5)
