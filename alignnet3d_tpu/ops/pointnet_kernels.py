@@ -10,10 +10,13 @@ This kernel fuses that chain into one VMEM-resident pass: the grid walks
 (batch-tile, point-chunk); each step runs the full L-layer MLP on a
 (TB*TN, F) tile on the MXU (bf16 inputs, fp32 accumulation) and
 max-accumulates into the (TB, F_out) output block, so intermediate
-activations never touch HBM. XLA's fusion already gets close on this
-pattern — the kernel exists to pin the schedule (single HBM read of the
-points, single HBM write of the pooled features) and as the template for
-later fused variants; the XLA fallback below is the numerical reference.
+activations never touch HBM.
+
+Measured on TPU v5e (B=1024, N=512, dims 3-64-128-1024): bit-exact vs the
+XLA path, but XLA's own fusion wins — 1.74 ms (84 TFLOP/s, ~86% of f32
+roofline) vs 2.75 ms for this kernel. XLA already keeps the chain fused
+with activations on-chip, so the Pallas path is OFF by default
+(tpu.use_pallas) and serves as the template for ops XLA fuses poorly.
 """
 
 from __future__ import annotations

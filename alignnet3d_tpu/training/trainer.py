@@ -132,6 +132,13 @@ class Trainer:
         mesh_cfg = cfg.tpu.mesh if cfg.has("tpu") else None
         dp = mesh_cfg.dp if mesh_cfg else -1
         mp = mesh_cfg.mp if mesh_cfg else 1
+        if dp == -1:
+            import jax as _jax
+
+            dp = max(1, len(_jax.devices()) // max(1, mp))
+        # dp must divide the batch size: largest divisor <= dp
+        while dp > 1 and self.batch_size % dp != 0:
+            dp -= 1
         self.mesh = meshlib.make_mesh(dp=dp, mp=mp)
         if self.use_mesh is None:
             self.use_mesh = self.mesh.devices.size > 1
