@@ -306,12 +306,28 @@ class Trainer:
 
     def train_one_epoch(self, state: TrainState, epoch: int,
                         writer: ScalarWriter):
-        """Shuffled drop-remainder epoch (reference train.py:335-383)."""
+        """Shuffled drop-remainder epoch (reference train.py:335-383).
+
+        Aux subsystems beyond the reference (SURVEY.md §5):
+        - ``tpu.profile.dir`` captures a jax.profiler trace of the first
+          ``tpu.profile.steps`` steps of epoch 0;
+        - a NaN guard aborts the run with a clear message instead of
+          silently training on garbage (the last checkpoint remains on
+          disk for recovery).
+        """
         train_fn = self._get_jitted("train")
         idxs = np.asarray(self.train_indices).copy()
         self._data_rng.shuffle(idxs)
         num_batches = len(idxs) // self.batch_size
         prefetch = self.cfg.tpu.prefetch_batches if self.cfg.has("tpu") else 2
+
+        profile_cfg = (
+            self.cfg.tpu.profile
+            if self.cfg.has("tpu") and self.cfg.tpu.has("profile") else None
+        )
+        profile_steps = (
+            profile_cfg.steps if profile_cfg and epoch == 0 else 0
+        )
 
         def make(i):
             return self._make_batch(
@@ -320,10 +336,30 @@ class Trainer:
 
         loss_sum = 0.0
         last_metrics = None
-        for batch in provider.PrefetchIterator(make, num_batches, prefetch):
+        profiling = False
+        for batch_idx, batch in enumerate(
+            provider.PrefetchIterator(make, num_batches, prefetch)
+        ):
+            if profile_steps and batch_idx == 1:  # skip compile step
+                jax.profiler.start_trace(profile_cfg.dir)
+                profiling = True
             state, metrics = train_fn(state, batch, self._next_rng())
             last_metrics = metrics
-            loss_sum += float(metrics["losses/loss"])
+            loss_val = float(metrics["losses/loss"])
+            if not np.isfinite(loss_val):
+                if profiling:
+                    jax.profiler.stop_trace()
+                raise FloatingPointError(
+                    f"non-finite loss {loss_val} at epoch {epoch} step "
+                    f"{batch_idx}; last good checkpoint is in {self.logdir}"
+                )
+            loss_sum += loss_val
+            if profiling and batch_idx + 1 >= 1 + profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info(f"profiler trace written to {profile_cfg.dir}")
+        if profiling:
+            jax.profiler.stop_trace()
         if last_metrics is not None:
             writer.write(int(jax.device_get(state.step)), last_metrics)
         if num_batches:
