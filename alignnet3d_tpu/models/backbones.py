@@ -75,24 +75,17 @@ class DGCNNBackbone(nn.Module):
     @nn.compact
     def __call__(self, points: jax.Array, train: bool, momentum) -> jax.Array:
         assert len(self.layer_sizes) >= 2, "dgcnn needs >= 2 layers"
+        from alignnet3d_tpu.ops.knn import (
+            get_edge_feature,
+            knn,
+            pairwise_distance,
+        )
+
         x = points.astype(self.dtype)
         b, n, _ = x.shape
         k = min(self.k, n)
-
-        # pairwise squared distances: -2 x x^T + |x|^2 + |x|^T^2
-        inner = jnp.einsum("bnd,bmd->bnm", x, x)
-        sq = jnp.sum(jnp.square(x), axis=-1)
-        neg_dist = 2.0 * inner - sq[:, :, None] - sq[:, None, :]
-        _, nn_idx = jax.lax.top_k(neg_dist, k)  # (B, N, k)
-
-        neighbors = jnp.take_along_axis(
-            x[:, :, None, :], nn_idx[..., None], axis=1
-        )  # gather per batch: (B, N, k, C)
-        central = x[:, :, None, :]
-        edge = jnp.concatenate(
-            [jnp.broadcast_to(central, neighbors.shape), neighbors - central],
-            axis=-1,
-        )
+        nn_idx = knn(pairwise_distance(x), k)
+        edge = get_edge_feature(x, nn_idx)
 
         h = edge
         for i, width in enumerate(self.layer_sizes[:-1]):

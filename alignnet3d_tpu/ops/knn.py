@@ -1,0 +1,44 @@
+"""Dynamic-graph ops: pairwise distances, k-NN, edge features — the public
+API behind the DGCNN backbone (reference utils/tf_util_dgcnn.py:638-706).
+
+All batched: the (B, N, N) distance matrix is one matmul (MXU), top-k runs
+on device. Exposed standalone so custom models can compose them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_distance(points: jax.Array) -> jax.Array:
+    """Negative squared pairwise distances, shape (B, N, N).
+
+    Sign convention matches the reference (tf_util_dgcnn.py:638-657):
+    LARGER means closer, so ``top_k`` on the output selects neighbors.
+    """
+    inner = jnp.einsum("bnd,bmd->bnm", points, points)
+    sq = jnp.sum(jnp.square(points), axis=-1)
+    return 2.0 * inner - sq[:, :, None] - sq[:, None, :]
+
+
+def knn(neg_dist: jax.Array, k: int = 20) -> jax.Array:
+    """Indices of the k nearest neighbors, shape (B, N, k)
+    (reference tf_util_dgcnn.py:660-671)."""
+    _, idx = jax.lax.top_k(neg_dist, k)
+    return idx
+
+
+def get_edge_feature(points: jax.Array, nn_idx: jax.Array,
+                     k: int = 20) -> jax.Array:
+    """Edge features ``[x_i, x_j - x_i]``, shape (B, N, k, 2C)
+    (reference tf_util_dgcnn.py:674-706)."""
+    del k  # implied by nn_idx shape
+    neighbors = jnp.take_along_axis(
+        points[:, :, None, :], nn_idx[..., None], axis=1
+    )
+    central = points[:, :, None, :]
+    return jnp.concatenate(
+        [jnp.broadcast_to(central, neighbors.shape), neighbors - central],
+        axis=-1,
+    )

@@ -1,0 +1,40 @@
+"""knn/edge-feature ops against brute-force numpy."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from alignnet3d_tpu.ops.knn import get_edge_feature, knn, pairwise_distance
+
+
+def test_pairwise_distance_matches_numpy(rng):
+    pts = rng.normal(size=(2, 16, 3)).astype(np.float32)
+    neg = np.asarray(pairwise_distance(jnp.asarray(pts)))
+    ref = -np.sum(
+        (pts[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1
+    )
+    np.testing.assert_allclose(neg, ref, atol=1e-4)
+
+
+def test_knn_selects_nearest(rng):
+    pts = rng.normal(size=(1, 32, 3)).astype(np.float32)
+    idx = np.asarray(knn(pairwise_distance(jnp.asarray(pts)), k=5))
+    d = np.linalg.norm(pts[0][:, None] - pts[0][None], axis=-1)
+    ref = np.argsort(d, axis=1)[:, :5]
+    # compare as sets (ties may reorder)
+    for i in range(32):
+        assert set(idx[0, i]) == set(ref[i]), i
+    # nearest neighbor of a point is itself
+    assert all(idx[0, i, 0] == i for i in range(32))
+
+
+def test_edge_features(rng):
+    pts = rng.normal(size=(1, 8, 3)).astype(np.float32)
+    nn_idx = knn(pairwise_distance(jnp.asarray(pts)), k=3)
+    edge = np.asarray(get_edge_feature(jnp.asarray(pts), nn_idx))
+    assert edge.shape == (1, 8, 3, 6)
+    i, j = 2, 1
+    neighbor = pts[0, np.asarray(nn_idx)[0, i, j]]
+    np.testing.assert_allclose(edge[0, i, j, :3], pts[0, i], atol=1e-6)
+    np.testing.assert_allclose(
+        edge[0, i, j, 3:], neighbor - pts[0, i], atol=1e-6
+    )
