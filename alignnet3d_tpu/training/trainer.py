@@ -418,6 +418,15 @@ class Trainer:
             )
 
         nb = self.spec.num_bins
+        # Reference eval decodes angle residuals UNSCALED (classLogits2angle,
+        # tp8.py:241-244) although the head is trained to predict residuals
+        # normalized by pi/num_bins (tp8.py:278). evaluation.scale_residuals
+        # opts into the consistent decode.
+        residual_scale = (
+            np.pi / nb
+            if cfg.evaluation.has("scale_residuals")
+            and cfg.evaluation.scale_residuals else 1.0
+        )
         loss_sum, cumulated_times = 0.0, 0.0
         for batch_idx in range(num_batches):
             start = batch_idx * batch_size
@@ -438,13 +447,14 @@ class Trainer:
                 if actual == batch_size:
                     loss_sum += loss_val
                 ang1 = class_logits_to_angle_np(
-                    out["pred_pc1angle_logits"][:actual], nb
+                    out["pred_pc1angle_logits"][:actual], nb, residual_scale
                 )
                 ang2 = class_logits_to_angle_np(
-                    out["pred_pc2angle_logits"][:actual], nb
+                    out["pred_pc2angle_logits"][:actual], nb, residual_scale
                 )
                 angr = class_logits_to_angle_np(
-                    out["pred_remaining_angle_logits"][:actual], nb
+                    out["pred_remaining_angle_logits"][:actual], nb,
+                    residual_scale
                 )
                 P["pred_translations"][start:end] = out["pred_translations"][:actual]
                 P["pred_angles"][start:end, 0] = ang2 - ang1 + angr
