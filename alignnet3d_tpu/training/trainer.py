@@ -49,7 +49,6 @@ import optax
 
 from alignnet3d_tpu.data import provider
 from alignnet3d_tpu.evaluation import metrics as evaluation
-from alignnet3d_tpu.geometry import get_mat_angle
 from alignnet3d_tpu.models.alignnet import AlignNet, ModelSpec
 from alignnet3d_tpu.models.losses import LossSpec, get_loss
 from alignnet3d_tpu.ops.angle_codec import class_logits_to_angle_np
