@@ -181,13 +181,17 @@ def icp_p2point_batch(src, src_mask, dst, dst_mask, init_transforms,
 
 
 def pad_full_clouds(dataset, file_indices, max_points: int = 4096,
-                    seed: int = 0):
+                    seed: int = 0, pad_to: int | None = None):
     """Assemble the FULL (non-subsampled) clouds for the given samples as
     padded (B, N, 3) arrays + masks; clouds above ``max_points`` are
-    uniformly subsampled (deterministic)."""
+    uniformly subsampled (deterministic).
+
+    ``pad_to`` fixes the padded length (e.g. a dataset-global cap) so that
+    successive chunks share one compiled ICP executable; by default the
+    chunk's own max count is used."""
     rng = np.random.default_rng(seed)
     rows = dataset.rows(file_indices)
-    n_cap = max(
+    n_cap = pad_to if pad_to is not None else max(
         1,
         min(
             max_points,
@@ -234,13 +238,19 @@ def refine_predictions(cfg, val_idxs, pred_translations, pred_angles,
     if dataset is None:
         dataset = PackedDataset(cfg.data.basepath)
     n = len(val_idxs)
+    rows = dataset.rows(val_idxs)
+    global_pad = max(1, min(max_points, int(max(
+        dataset.counts1[rows].max(initial=1),
+        dataset.counts2[rows].max(initial=1),
+    ))))
     out_t = np.empty((n, 3), np.float32)
     out_a = np.empty((n, 1), np.float32)
     elapsed = 0.0
     for s in range(0, n, pair_chunk):
         e = min(s + pair_chunk, n)
         (src, src_mask), (dst, dst_mask) = pad_full_clouds(
-            dataset, val_idxs[s:e], max_points=max_points
+            dataset, val_idxs[s:e], max_points=max_points,
+            pad_to=global_pad,
         )
         init = np.stack([
             get_mat_angle(pred_translations[i], pred_angles[i],

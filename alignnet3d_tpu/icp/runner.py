@@ -71,6 +71,11 @@ def evaluate(cfg, use_old_results: bool = False, pair_chunk: int = 128,
         logger.info("Precomputed results loaded")
 
     rows = dataset.rows(val_idxs)
+    # one padded length for the whole set -> one compiled ICP executable
+    global_pad = max(1, min(max_points, int(max(
+        dataset.counts1[rows].max(initial=1),
+        dataset.counts2[rows].max(initial=1),
+    ))))
     all_gt_translations = dataset.translations[rows]
     all_gt_angles = dataset.rel_angles[rows]
     all_gt_pc1centers = dataset.pc1centers[rows]
@@ -89,7 +94,8 @@ def evaluate(cfg, use_old_results: bool = False, pair_chunk: int = 128,
         for s in range(0, n, pair_chunk):
             e = min(s + pair_chunk, n)
             (src, sm), (dst, dm) = pad_full_clouds(
-                dataset, val_idxs[s:e], max_points=max_points
+                dataset, val_idxs[s:e], max_points=max_points,
+                pad_to=global_pad,
             )
             t0 = time.time()
             if variant == "p2point":
