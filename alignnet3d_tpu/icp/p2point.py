@@ -270,9 +270,9 @@ def refine_predictions(cfg, val_idxs, pred_translations, pred_angles,
 
 def multistart_global_registration(src, src_mask, dst, dst_mask,
                                    num_yaw_hypotheses: int = 16,
-                                   coarse_its: int = 10,
+                                   coarse_its: int = 15,
                                    refine_its: int = 30,
-                                   coarse_radius: float = 0.4,
+                                   coarse_radius: float = 1.0,
                                    radius: float = 0.1):
     """Initialization-free registration via parallel yaw multi-start.
 
