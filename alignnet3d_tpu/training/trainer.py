@@ -374,10 +374,13 @@ class Trainer:
         """Full val-set eval + artifacts (reference train.py:386-545)."""
         cfg = self.cfg
         batch_size = override_batch_size or self.batch_size
-        eval_fn = (
-            self._get_jitted("eval") if override_batch_size is None
-            else jax.jit(self._eval_step_fn)
-        )
+        if override_batch_size is None:
+            eval_fn = self._get_jitted("eval")
+        else:
+            key = f"eval_bs{override_batch_size}"
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(self._eval_step_fn)
+            eval_fn = self._jit_cache[key]
         val_idxs = list(self.val_indices)
         n_val = len(val_idxs)
         num_batches = int(np.ceil(n_val / batch_size))
