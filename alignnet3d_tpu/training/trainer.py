@@ -392,7 +392,14 @@ class Trainer:
             suffix = f"_{icp_its}" if icp_its != 30 else ""
             eval_dir = f"{eval_dir}/refined_p2p{suffix}"
         if os.path.isdir(eval_dir):
-            os.rename(eval_dir, f"{eval_dir}_backup_{int(time.time())}")
+            # reference uses int(time.time()) alone (train.py:405); sub-second
+            # re-evals (e.g. timings mode) need a uniquifier
+            backup = f"{eval_dir}_backup_{int(time.time())}"
+            k = 0
+            while os.path.exists(backup):
+                k += 1
+                backup = f"{eval_dir}_backup_{int(time.time())}_{k}"
+            os.rename(eval_dir, backup)
         os.makedirs(eval_dir, exist_ok=True)
 
         P = {
