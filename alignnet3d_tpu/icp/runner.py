@@ -122,11 +122,24 @@ def evaluate(cfg, use_old_results: bool = False, pair_chunk: int = 128,
                         src, sm, dst, dm, init, radius=0.10, its=30,
                         with_constraint=with_constraint,
                     )
+                elif variant == "o3_gicp":
+                    # FPFH + parallel-hypothesis RANSAC (reference
+                    # icp_o3_gicp, icp.py:85-105)
+                    from alignnet3d_tpu.icp.fpfh import fpfh_ransac_pair
+
+                    tf = np.empty((e - s, 4, 4))
+                    fit = np.empty(e - s)
+                    rmse = np.empty(e - s)
+                    for i in range(e - s):
+                        tf[i], fit[i], rmse[i] = fpfh_ransac_pair(
+                            src[i][sm[i]], dst[i][dm[i]],
+                            with_constraint=with_constraint, seed=s + i,
+                        )
                 else:
-                    # fast variant: fewer hypotheses (FGR vs full RANSAC)
-                    k = 8 if variant == "o3_gicp_fast" else 16
+                    # fast variant: yaw multi-start (the FGR analogue —
+                    # enumerate the 1-DoF rotation space)
                     tf, fit, rmse = multistart_global_registration(
-                        src, sm, dst, dm, num_yaw_hypotheses=k
+                        src, sm, dst, dm, num_yaw_hypotheses=8
                     )
             else:
                 raise AssertionError(f"unimplemented ICP variant {variant!r}")

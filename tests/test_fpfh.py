@@ -1,0 +1,94 @@
+"""FPFH + RANSAC global registration: normals, descriptor invariance,
+transform recovery."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alignnet3d_tpu.geometry import get_mat_angle, transform_points
+from alignnet3d_tpu.icp import fpfh
+
+
+def _L_cloud(rng, n=400):
+    """An L-shaped (asymmetric) surface cloud: two perpendicular planes of
+    different sizes — gives FPFH something distinctive."""
+    n1 = n // 2
+    a = np.stack([rng.uniform(0, 2.0, n1), rng.uniform(0, 1.0, n1),
+                  np.zeros(n1)], axis=1)
+    b = np.stack([rng.uniform(0, 0.8, n - n1), np.zeros(n - n1),
+                  rng.uniform(0, 0.9, n - n1)], axis=1)
+    return np.concatenate([a, b]).astype(np.float32)
+
+
+def test_voxel_downsample():
+    pts = np.array([[0.01, 0.01, 0.0], [0.02, 0.02, 0.0], [1.0, 1.0, 1.0]])
+    out = fpfh.voxel_downsample(pts, 0.1)
+    assert len(out) == 2
+    # centroid of the merged voxel
+    assert np.allclose(sorted(out[:, 0]), [0.015, 1.0], atol=1e-6)
+
+
+def test_normals_of_plane(rng):
+    pts = np.stack([rng.uniform(-1, 1, 256), rng.uniform(-1, 1, 256),
+                    np.zeros(256)], axis=1).astype(np.float32)
+    pts[:, 2] += 5.0  # plane z=5, sensor at origin below
+    normals = np.asarray(fpfh.estimate_normals(
+        jnp.asarray(pts), jnp.ones(256, bool)
+    ))
+    # normal is +-z, oriented toward origin => -z
+    assert np.allclose(np.abs(normals[:, 2]), 1.0, atol=1e-3)
+    assert np.all(normals[:, 2] < 0)
+
+
+def test_fpfh_rigid_invariance(rng):
+    """FPFH descriptors are (approximately) invariant under a rigid motion
+    of the whole cloud. The cloud sits away from the origin (like real
+    scans) so the sensor-facing normal orientation is stable."""
+    pts = _L_cloud(rng) + np.array([5.0, 3.0, 0.0], np.float32)
+    mask = jnp.ones(len(pts), bool)
+    f1, _ = fpfh.fpfh_features(jnp.asarray(pts), mask, radius=0.5)
+    M = get_mat_angle([0.3, -0.2, 0.1], 0.4, rotation_center=[5.0, 3.0, 0.0])
+    moved = transform_points(pts, M).astype(np.float32)
+    f2, _ = fpfh.fpfh_features(jnp.asarray(moved), mask, radius=0.5)
+    f1, f2 = np.asarray(f1), np.asarray(f2)
+    denom = np.maximum(np.linalg.norm(f1, axis=1), 1e-6)
+    rel = np.linalg.norm(f1 - f2, axis=1) / denom
+    assert np.median(rel) < 0.15, np.median(rel)
+
+
+def test_ransac_recovers_large_yaw(rng):
+    src = _L_cloud(rng) + np.array([3.0, 1.0, 0.0], np.float32)
+    gt = get_mat_angle([0.5, -0.3, 0.0], 2.4)  # ~137 degrees
+    dst = transform_points(src, gt).astype(np.float32)
+    out, fit, rmse = fpfh.fpfh_ransac_pair(
+        src, dst, voxel_size=0.05, num_hypotheses=1024, max_points=512,
+    )
+    moved = transform_points(src, out)
+    err = np.linalg.norm(moved - dst, axis=1)
+    # RANSAC produces the coarse basin; the reference refines with p2p
+    # afterwards (the *_p2p variants, icp.py:107-116)
+    assert np.median(err) < 0.35, (np.median(err), fit, rmse)
+    assert fit > 0.1  # coarse-stage inliers at the tight threshold
+
+    from alignnet3d_tpu.icp.p2point import icp_p2point_batch
+
+    a = src[None]
+    m = np.ones((1, len(src)), bool)
+    tf, fit2, rmse2 = icp_p2point_batch(
+        a, m, dst[None], m, out[None], radius=0.1, its=30
+    )
+    refined = transform_points(src, tf[0])
+    assert np.median(np.linalg.norm(refined - dst, axis=1)) < 0.02
+    assert fit2[0] > 0.95
+
+
+def test_ransac_constraint_yields_yaw_only(rng):
+    src = _L_cloud(rng)
+    gt = get_mat_angle([0.2, 0.1, 0.0], -1.0)
+    dst = transform_points(src, gt).astype(np.float32)
+    out, fit, rmse = fpfh.fpfh_ransac_pair(
+        src, dst, voxel_size=0.05, num_hypotheses=512, max_points=384,
+    )
+    assert np.allclose(out[2, :2], 0.0, atol=1e-6)
+    assert np.allclose(out[:2, 2], 0.0, atol=1e-6)
