@@ -1,0 +1,364 @@
+"""Data provider: reference-compatible on-disk format + a packed fast path.
+
+On-disk layout (reference README.md:50-69, provider.py:85-136):
+
+    <basepath>/meta/%08d.json         translation/rel_angle/start+end pose
+    <basepath>/pointcloud1/%08d.npy   (Ni, 3+) float points
+    <basepath>/pointcloud2/%08d.npy
+    <basepath>/split/{train,val}.txt  integer indices
+
+The reference reads per-sample JSON + npy synchronously inside the train
+loop (SURVEY.md §3.1 hot loop) — the #1 host bottleneck. Here a
+``PackedDataset`` packs a whole split into flat ragged arrays once (cached
+as a single .npz next to the dataset), after which a batch is two vectorized
+gathers; resampling-with-replacement and jitter match reference
+provider.py:60-71, 97-98 statistically.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+import queue as queue_mod
+
+import numpy as np
+
+from alignnet3d_tpu.geometry import str_to_np
+
+logger = logging.getLogger("alignnet3d_tpu")
+
+PACK_VERSION = 1
+
+
+def getDataFiles(list_filename: str):
+    """Read split indices (reference provider.py:74-75)."""
+    with open(list_filename) as f:
+        return [int(line.rstrip()) for line in f if line.strip()]
+
+
+def shuffle_data(data, labels, rng=None):
+    """Shuffle data/labels together; returns (data, labels, idx)
+    (reference provider.py:10-20)."""
+    if rng is None:
+        rng = np.random.default_rng()
+    idx = rng.permutation(len(labels))
+    return data[idx, ...], labels[idx], idx
+
+
+def rotate_point_cloud(batch_data, rng=None):
+    """Random per-cloud rotation about the up direction — NOTE the
+    reference rotates about the Y axis here (provider.py:23-39, a ModelNet
+    convention; unused by the training flow). Kept verbatim."""
+    if rng is None:
+        rng = np.random.default_rng()
+    out = np.zeros_like(batch_data, dtype=np.float32)
+    for k in range(batch_data.shape[0]):
+        angle = rng.uniform() * 2 * np.pi
+        c, s = np.cos(angle), np.sin(angle)
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        out[k] = batch_data[k].reshape(-1, 3) @ rot
+    return out
+
+
+def rotate_point_cloud_by_angle(batch_data, rotation_angle):
+    """Fixed-angle variant of the above (reference provider.py:42-57)."""
+    c, s = np.cos(rotation_angle), np.sin(rotation_angle)
+    rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    return np.einsum("bnd,de->bne", np.asarray(batch_data, np.float64), rot)
+
+
+def jitter_point_cloud(batch_data, sigma=0.01, clip=0.05, rng=None):
+    """Per-point gaussian jitter, clipped (reference provider.py:60-71)."""
+    if rng is None:
+        rng = np.random.default_rng()
+    noise = np.clip(sigma * rng.standard_normal(batch_data.shape), -clip, clip)
+    return batch_data + noise
+
+
+def load_meta(basepath: str, idx: int) -> dict:
+    with open(f"{basepath}/meta/{str(idx).zfill(8)}.json") as f:
+        return json.load(f)
+
+
+def parse_meta_labels(meta: dict):
+    """Extract the 6 label arrays from a meta dict (provider.py:86-89)."""
+    translation = str_to_np(meta["translation"])
+    rel_angle = meta["rel_angle"]
+    pc1center = str_to_np(meta["start_position"])
+    pc2center = str_to_np(meta["end_position"])
+    pc1angle = meta["start_angle"]
+    pc2angle = meta["end_angle"]
+    return translation, rel_angle, pc1center, pc2center, pc1angle, pc2angle
+
+
+def load_from_separate_files(cfg, idx: int, dont_load_pointclouds=False,
+                             rng=None):
+    """Single-sample loader (reference provider.py:85-105): meta labels plus
+    the two clouds resampled with replacement to ``cfg.model.num_points``."""
+    labels = parse_meta_labels(load_meta(cfg.data.basepath, idx))
+    if dont_load_pointclouds:
+        return labels
+    rng = rng or np.random
+    num_points = cfg.model.num_points
+    out_pcs = []
+    for name in ("pointcloud1", "pointcloud2"):
+        pc = np.load(f"{cfg.data.basepath}/{name}/{str(idx).zfill(8)}.npy")
+        if pc.shape[0] == 0:
+            logger.error(f"Empty pointcloud! {idx}")
+            out_pcs.append(np.zeros((num_points, 3), dtype=np.float32))
+        else:
+            choice = rng.choice(pc.shape[0], num_points, replace=True)
+            out_pcs.append(np.asarray(pc[choice, :3], dtype=np.float32))
+    return (*out_pcs, *labels)
+
+
+def load_batch(cfg, indices, override_batch_size=None,
+               dont_load_pointclouds=False, rng=None):
+    """Reference-compatible batch loader (provider.py:108-136)."""
+    batch_size = (
+        cfg.training.batch_size if override_batch_size is None
+        else override_batch_size
+    )
+    num_points = cfg.model.num_points
+    nch = cfg.data.num_channels
+    pcs1 = np.empty((batch_size, num_points, nch))
+    pcs2 = np.empty((batch_size, num_points, nch))
+    translations = np.empty((batch_size, 3))
+    rel_angles = np.empty((batch_size, 1))
+    pc1centers = np.empty((batch_size, 3))
+    pc2centers = np.empty((batch_size, 3))
+    pc1angles = np.empty((batch_size, 1))
+    pc2angles = np.empty((batch_size, 1))
+
+    for i, ex_idx in enumerate(indices):
+        sample = load_from_separate_files(
+            cfg, ex_idx, dont_load_pointclouds=dont_load_pointclouds, rng=rng
+        )
+        if dont_load_pointclouds:
+            t, ra, c1, c2, a1, a2 = sample
+        else:
+            pc1, pc2, t, ra, c1, c2, a1, a2 = sample
+            pcs1[i] = pc1[:, :3]
+            pcs2[i] = pc2[:, :3]
+        translations[i] = t
+        rel_angles[i] = ra
+        pc1centers[i] = c1
+        pc2centers[i] = c2
+        pc1angles[i] = a1
+        pc2angles[i] = a2
+    return (pcs1, pcs2, translations, rel_angles, pc1centers, pc2centers,
+            pc1angles, pc2angles)
+
+
+# --------------------------------------------------------------- packed path
+
+
+class PackedDataset:
+    """A dataset split packed into flat ragged arrays for fast batching.
+
+    Packs every sample index of the dataset once (cached in
+    ``<basepath>/packed_v{N}.npz``); afterwards ``sample_batch`` does
+    resample-with-replacement + label stacking as a handful of vectorized
+    gathers — no per-sample file IO on the training hot path.
+    """
+
+    def __init__(self, basepath: str, indices=None, cache: bool = True):
+        self.basepath = basepath
+        all_indices = self._discover_indices(basepath)
+        cache_file = os.path.join(basepath, f"packed_v{PACK_VERSION}.npz")
+        if cache and os.path.isfile(cache_file):
+            data = np.load(cache_file)
+            self._init_from_arrays({k: data[k] for k in data.files})
+        else:
+            arrays = self._pack(basepath, all_indices)
+            self._init_from_arrays(arrays)
+            if cache:
+                try:
+                    np.savez(cache_file, **arrays)
+                except OSError as e:  # read-only dataset dir is fine
+                    logger.warning(f"could not cache packed dataset: {e}")
+        self.index_map = {int(v): i for i, v in enumerate(self.indices)}
+        if indices is not None:
+            missing = [i for i in indices if int(i) not in self.index_map]
+            assert not missing, f"indices missing from dataset: {missing[:10]}"
+
+    @staticmethod
+    def _discover_indices(basepath):
+        metas = sorted(os.listdir(os.path.join(basepath, "meta")))
+        return [int(m[:-5]) for m in metas if m.endswith(".json")]
+
+    @staticmethod
+    def _pack(basepath, indices):
+        points = {1: [], 2: []}
+        counts = {1: [], 2: []}
+        labels = {
+            "translations": [], "rel_angles": [], "pc1centers": [],
+            "pc2centers": [], "pc1angles": [], "pc2angles": [],
+        }
+        metas = []
+        for idx in indices:
+            meta = load_meta(basepath, idx)
+            metas.append(json.dumps(meta))
+            t, ra, c1, c2, a1, a2 = parse_meta_labels(meta)
+            labels["translations"].append(t)
+            labels["rel_angles"].append([ra])
+            labels["pc1centers"].append(c1)
+            labels["pc2centers"].append(c2)
+            labels["pc1angles"].append([a1])
+            labels["pc2angles"].append([a2])
+            for k in (1, 2):
+                pc = np.load(
+                    f"{basepath}/pointcloud{k}/{str(idx).zfill(8)}.npy"
+                )
+                pc = np.asarray(pc[:, :3], dtype=np.float32)
+                points[k].append(pc)
+                counts[k].append(pc.shape[0])
+        arrays = {
+            "indices": np.asarray(indices, dtype=np.int64),
+            "metas": np.asarray(metas),  # unicode array, picklable-free
+        }
+        for k in (1, 2):
+            arrays[f"points{k}"] = (
+                np.concatenate(points[k], axis=0)
+                if points[k]
+                else np.zeros((0, 3), np.float32)
+            )
+            arrays[f"counts{k}"] = np.asarray(counts[k], dtype=np.int64)
+        for name, vals in labels.items():
+            arrays[name] = np.asarray(vals, dtype=np.float64)
+        return arrays
+
+    def _init_from_arrays(self, arrays):
+        self.indices = np.asarray(arrays["indices"], dtype=np.int64)
+        self.metas_json = arrays["metas"]
+        for k in (1, 2):
+            setattr(self, f"points{k}", np.asarray(arrays[f"points{k}"]))
+            counts = np.asarray(arrays[f"counts{k}"], dtype=np.int64)
+            setattr(self, f"counts{k}", counts)
+            offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            setattr(self, f"offsets{k}", offsets)
+        for name in ("translations", "rel_angles", "pc1centers", "pc2centers",
+                     "pc1angles", "pc2angles"):
+            setattr(self, name, np.asarray(arrays[name], dtype=np.float64))
+
+    def __len__(self):
+        return len(self.indices)
+
+    @staticmethod
+    def shard_indices(indices, host_id: int, num_hosts: int):
+        """Static per-host split of a set of file indices for pod-scale
+        multi-process data loading: host k takes every num_hosts-th index.
+        Each process then builds batches only for its own shard; the global
+        batch is assembled by the runtime via dp sharding over DCN.
+        """
+        return list(indices)[host_id::num_hosts]
+
+    def rows(self, file_indices):
+        """Map dataset file indices -> packed row numbers."""
+        return np.asarray(
+            [self.index_map[int(i)] for i in np.asarray(file_indices).ravel()],
+            dtype=np.int64,
+        )
+
+    def metas(self, file_indices):
+        rows = self.rows(file_indices)
+        return [json.loads(self.metas_json[r]) for r in rows]
+
+    def sample_batch(self, file_indices, num_points: int,
+                     rng: np.random.Generator, use_native: bool = True):
+        """Batch assembly with per-cloud resample-with-replacement
+        (statistical equivalent of reference provider.py:97-98; empty clouds
+        become zeros as in provider.py:95-96).
+
+        Uses the native C++ assembler (native/loader.cpp) when available,
+        falling back to vectorized numpy. Both paths draw from the same
+        distribution; the streams differ.
+        """
+        rows = self.rows(file_indices)
+        b = len(rows)
+        if use_native:
+            from alignnet3d_tpu.data import native_loader
+
+            seeds = rng.integers(0, 2 ** 63, 2)
+            pcs = [
+                native_loader.resample_gather(
+                    getattr(self, f"points{k}"),
+                    getattr(self, f"offsets{k}"),
+                    getattr(self, f"counts{k}"),
+                    rows, num_points, int(seeds[k - 1]),
+                )
+                for k in (1, 2)
+            ]
+            if all(p is not None for p in pcs):
+                labels = (
+                    self.translations[rows],
+                    self.rel_angles[rows],
+                    self.pc1centers[rows],
+                    self.pc2centers[rows],
+                    self.pc1angles[rows],
+                    self.pc2angles[rows],
+                )
+                return (*pcs, *[np.asarray(v) for v in labels])
+        out = []
+        for k in (1, 2):
+            counts = getattr(self, f"counts{k}")[rows]  # (B,)
+            offsets = getattr(self, f"offsets{k}")[rows]
+            safe_counts = np.maximum(counts, 1)
+            pick = (
+                rng.random((b, num_points)) * safe_counts[:, None]
+            ).astype(np.int64)
+            flat_idx = offsets[:, None] + pick
+            pts = getattr(self, f"points{k}")[flat_idx]  # (B, N, 3)
+            pts = np.where(counts[:, None, None] > 0, pts, 0.0)
+            out.append(np.ascontiguousarray(pts, dtype=np.float32))
+        labels = (
+            self.translations[rows],
+            self.rel_angles[rows],
+            self.pc1centers[rows],
+            self.pc2centers[rows],
+            self.pc1angles[rows],
+            self.pc2angles[rows],
+        )
+        return (*out, *[np.asarray(v) for v in labels])
+
+
+class PrefetchIterator:
+    """Background-thread batch prefetcher over a PackedDataset.
+
+    The reference loads batches synchronously in the step loop
+    (train.py:352); this overlaps host batch assembly with device compute.
+    """
+
+    def __init__(self, make_batch, num_batches: int, prefetch: int = 2):
+        self._queue: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, prefetch))
+        self._num_batches = num_batches
+        self._error = None
+
+        def worker():
+            try:
+                for i in range(num_batches):
+                    self._queue.put(make_batch(i))
+            except BaseException as e:  # surfaced on next()
+                self._error = e
+            finally:
+                self._queue.put(None)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __len__(self):
+        return self._num_batches
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is None:
+            if self._error is not None:
+                raise self._error
+            raise StopIteration
+        return item
