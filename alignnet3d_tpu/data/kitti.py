@@ -79,6 +79,25 @@ class Calibration:
         self._velo2rect[:3, :] = self.R0 @ self.V2C
         self._rect2velo = np.linalg.inv(self._velo2rect)
 
+    @classmethod
+    def from_video_dir(cls, calib_root_dir: str) -> "Calibration":
+        """Build from raw-KITTI video calib files (calib_cam_to_cam.txt +
+        calib_velo_to_cam.txt), reference pointcloud.py:131-144."""
+        cam2cam = cls.read_calib_file(
+            os.path.join(calib_root_dir, "calib_cam_to_cam.txt")
+        )
+        velo2cam = cls.read_calib_file(
+            os.path.join(calib_root_dir, "calib_velo_to_cam.txt")
+        )
+        tr = np.zeros((3, 4))
+        tr[:3, :3] = np.reshape(velo2cam["R"], (3, 3))
+        tr[:, 3] = velo2cam["T"]
+        return cls(calibs={
+            "Tr_velo_to_cam": tr.reshape(12),
+            "R0_rect": cam2cam["R_rect_00"],
+            "P2": cam2cam["P_rect_02"],
+        })
+
     @staticmethod
     def read_calib_file(filepath: str) -> dict:
         data = {}
@@ -306,6 +325,25 @@ def extract_points_in_box2d(pc_velo, box2d, calib, img_width, img_height):
         & (pts_2d[:, 1] < ymax) & (pts_2d[:, 1] >= ymin) & fov
     )
     return pc_velo[inside]
+
+
+def extract_colors_for_points(points_global: np.ndarray, calib: Calibration,
+                              image: np.ndarray) -> np.ndarray:
+    """Per-point RGB sampled from the camera image (reference
+    extract_color_from_pc, pointcloud.py:827-837), vectorized. Points are
+    in the global frame; ``image`` is an (H, W, 3) array."""
+    pts_rect = np.asarray(points_global, np.float64) @ R_KITTI2GLOBAL.T
+    uv = calib.project_rect_to_image(pts_rect)
+    uvi = uv.astype(np.int64)
+    h, w = image.shape[:2]
+    ok = (
+        (uvi[:, 0] >= 0) & (uvi[:, 0] < w)
+        & (uvi[:, 1] >= 0) & (uvi[:, 1] < h)
+        & (pts_rect[:, 2] > 0)
+    )
+    colors = np.zeros((len(points_global), 3), np.float64)
+    colors[ok] = np.asarray(image, np.float64)[uvi[ok, 1], uvi[ok, 0]]
+    return colors
 
 
 def get_transform_components(boxvec: np.ndarray):

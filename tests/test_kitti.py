@@ -148,3 +148,37 @@ def test_from_kitti_scene_writes_compatible_meta(tmp_path, rng):
     assert t[2] == 0.0  # ground-plane constrained
     saved_pc2 = np.load(tmp_path / "pointcloud2" / "00000000.npy")
     assert saved_pc2.shape == (60, 3)
+
+
+def test_calib_from_video_dir(tmp_path):
+    (tmp_path / "calib_cam_to_cam.txt").write_text(
+        "R_rect_00: 1 0 0 0 1 0 0 0 1\n"
+        "P_rect_02: 700 0 600 0 0 700 180 0 0 0 1 0\n"
+    )
+    (tmp_path / "calib_velo_to_cam.txt").write_text(
+        "R: 0 -1 0 0 0 -1 1 0 0\nT: 0.1 -0.05 -0.27\n"
+    )
+    c = kitti.Calibration.from_video_dir(str(tmp_path))
+    assert c.V2C.shape == (3, 4)
+    np.testing.assert_allclose(c.V2C[:, 3], [0.1, -0.05, -0.27])
+
+
+def test_extract_colors_for_points(tmp_path):
+    p = tmp_path / "c.txt"
+    p.write_text(
+        "P2: 100 0 50 0 0 100 50 0 0 0 1 0\n"
+        "R0_rect: 1 0 0 0 1 0 0 0 1\n"
+        "Tr_velo_to_cam: 0 -1 0 0 0 0 -1 0 1 0 0 0\n"
+    )
+    calib = kitti.Calibration(str(p))
+    image = np.zeros((100, 100, 3))
+    image[50, 50] = [255.0, 0.0, 0.0]
+    # a point straight ahead in rect coords (0,0,z) projects to (50,50)
+    pt_rect = np.array([[0.0, 0.0, 10.0]])
+    pt_global = pt_rect @ kitti.R_KITTI2GLOBAL
+    colors = kitti.extract_colors_for_points(pt_global, calib, image)
+    np.testing.assert_allclose(colors[0], [255.0, 0, 0])
+    # behind the camera -> zero color
+    behind = (-pt_rect) @ kitti.R_KITTI2GLOBAL
+    colors2 = kitti.extract_colors_for_points(behind, calib, image)
+    np.testing.assert_allclose(colors2[0], 0.0)
