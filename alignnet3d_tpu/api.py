@@ -1,0 +1,177 @@
+"""High-level alignment API.
+
+The reference exposes registration only through the train.py CLI; this
+module provides the programmatic serving surface:
+
+    from alignnet3d_tpu.api import Aligner
+
+    aligner = Aligner.from_checkpoint("runs/SynthCars/config.json",
+                                      "runs/SynthCars/model-199.msgpack")
+    result = aligner.align(list_of_pc1, list_of_pc2, refine_icp=True)
+    result["translations"], result["angles"], result["centers"]
+
+Semantics match the eval path exactly: clouds are resampled with
+replacement to the model's point count, the yaw is composed as
+``decode(pc2) - decode(pc1) + decode(remaining)``, and the returned
+translation acts about the returned rotation center
+(``geometry.get_mat_angle(t, a, center)`` maps cloud1 onto cloud2).
+Optional on-device ICP refinement polishes each pair (world-frame output,
+center = origin), like the CLI's ``--refineICP``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alignnet3d_tpu.config import config_from_dict
+from alignnet3d_tpu.geometry import get_mat_angle
+from alignnet3d_tpu.models.alignnet import AlignNet, ModelSpec
+from alignnet3d_tpu.ops.angle_codec import class_logits_to_angle_np
+
+
+class Aligner:
+    def __init__(self, spec: ModelSpec, variables, batch_size: int = 128,
+                 scale_residuals: bool = False, seed: int = 0):
+        self.spec = spec
+        self.variables = variables
+        self.batch_size = batch_size
+        self.residual_scale = (
+            np.pi / spec.num_bins if scale_residuals else 1.0
+        )
+        self._rng = np.random.default_rng(seed)
+        model = AlignNet(spec)
+        self._forward = jax.jit(
+            lambda v, a, b: model.apply(v, a, b, train=False)
+        )
+
+    @classmethod
+    def from_checkpoint(cls, config_path: str, checkpoint_path: str,
+                        **kwargs) -> "Aligner":
+        """Load from a run's config.json + a model-*.msgpack snapshot."""
+        import flax.serialization
+
+        with open(config_path) as f:
+            cfg = config_from_dict(json.load(f))
+        spec = ModelSpec.from_config(cfg)
+        model = AlignNet(spec)
+        dummy = jnp.zeros((2, spec.num_points, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            dummy, dummy, train=False,
+        )
+        with open(checkpoint_path, "rb") as f:
+            blob = f.read()
+        # checkpoints store the full TrainState; accept either layout
+        state = flax.serialization.msgpack_restore(blob)
+        if "params" in state:
+            variables = {
+                "params": state["params"],
+                "batch_stats": state["batch_stats"],
+            }
+        scale = bool(
+            cfg.evaluation.has("scale_residuals")
+            and cfg.evaluation.scale_residuals
+        )
+        return cls(spec, variables, scale_residuals=scale, **kwargs)
+
+    def _resample(self, clouds: Sequence[np.ndarray]) -> np.ndarray:
+        n = self.spec.num_points
+        out = np.zeros((len(clouds), n, 3), np.float32)
+        for i, pc in enumerate(clouds):
+            pc = np.asarray(pc, np.float32)
+            if len(pc):
+                pick = self._rng.integers(0, len(pc), n)
+                out[i] = pc[pick, :3]
+        return out
+
+    def align(self, pcs1: Sequence[np.ndarray], pcs2: Sequence[np.ndarray],
+              refine_icp: bool = False, icp_its: int = 30,
+              icp_radius: float = 0.1):
+        """Align pairs of raw clouds. Returns dict with ``translations``
+        (N, 3), ``angles`` (N,), ``centers`` (N, 3) and ``transforms``
+        (N, 4, 4)."""
+        assert len(pcs1) == len(pcs2)
+        n = len(pcs1)
+        nb = self.spec.num_bins
+        bs = self.batch_size
+        translations = np.empty((n, 3), np.float32)
+        angles = np.empty(n, np.float32)
+        centers = np.empty((n, 3), np.float32)
+
+        for s in range(0, n, bs):
+            e = min(s + bs, n)
+            a = self._resample(pcs1[s:e])
+            b = self._resample(pcs2[s:e])
+            pad = bs - (e - s)
+            if pad:
+                a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+                b = np.concatenate([b, np.repeat(b[-1:], pad, 0)])
+            out = jax.device_get(
+                self._forward(self.variables, jnp.asarray(a), jnp.asarray(b))
+            )
+            k = e - s
+            ang1 = class_logits_to_angle_np(
+                out["pred_pc1angle_logits"][:k], nb, self.residual_scale
+            )
+            ang2 = class_logits_to_angle_np(
+                out["pred_pc2angle_logits"][:k], nb, self.residual_scale
+            )
+            angr = class_logits_to_angle_np(
+                out["pred_remaining_angle_logits"][:k], nb,
+                self.residual_scale,
+            )
+            translations[s:e] = out["pred_translations"][:k]
+            angles[s:e] = ang2 - ang1 + angr
+            centers[s:e] = out["pred_s2_pc1centers"][:k]
+
+        if refine_icp:
+            from alignnet3d_tpu.icp.p2point import icp_p2point_batch
+
+            n_max = max(max((len(p) for p in pcs1), default=1),
+                        max((len(p) for p in pcs2), default=1))
+            n_max = min(n_max, 4096)
+
+            def pad_set(clouds):
+                arr = np.zeros((n, n_max, 3), np.float32)
+                msk = np.zeros((n, n_max), bool)
+                for i, pc in enumerate(clouds):
+                    pc = np.asarray(pc, np.float32)[:, :3]
+                    if len(pc) > n_max:
+                        pick = self._rng.choice(len(pc), n_max, replace=False)
+                        pc = pc[pick]
+                    arr[i, : len(pc)] = pc
+                    msk[i, : len(pc)] = True
+                return arr, msk
+
+            src, sm = pad_set(pcs1)
+            dst, dm = pad_set(pcs2)
+            init = np.stack([
+                get_mat_angle(translations[i], angles[i],
+                              rotation_center=centers[i])
+                for i in range(n)
+            ])
+            tf, _, _ = icp_p2point_batch(
+                src, sm, dst, dm, init, radius=icp_radius, its=icp_its
+            )
+            translations = tf[:, :3, 3].astype(np.float32)
+            angles = np.arctan2(tf[:, 1, 0], tf[:, 0, 0]).astype(np.float32)
+            centers = np.zeros_like(centers)
+
+        transforms = np.stack([
+            get_mat_angle(translations[i], angles[i],
+                          rotation_center=centers[i])
+            for i in range(n)
+        ])
+        return {
+            "translations": translations,
+            "angles": angles,
+            "centers": centers,
+            "transforms": transforms,
+        }

@@ -1,0 +1,91 @@
+"""High-level Aligner API: checkpoint loading, alignment output contract,
+ICP-refined mode."""
+
+import json
+
+import numpy as np
+import pytest
+
+from alignnet3d_tpu.data.synthetic import generate_dataset
+from alignnet3d_tpu.geometry import transform_points
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("api")
+    base = str(root / "Data")
+    generate_dataset(base, num_train=16, num_val=4, seed=71, vres=16,
+                     hres=180)
+    cfg = {
+        "data": {"basepath": base},
+        "logging": {"basedir": str(root / "runs")},
+        "model": {
+            "num_points": 64, "backbone": "pointnet",
+            "options": {
+                "angle_factor": 1.0, "early_stage_factor": 0.5,
+                "s1transformer": [[16, 32], [[32], 0.7]],
+                "s2transformer": [[16, 32], [[32], 0.7]],
+                "embedding": [16, 64],
+                "remaining_transform_prediction": [[32], 0.7],
+            },
+            "angles": {"num_bins": 8, "accept_inverted_angle": True},
+        },
+        "training": {"batch_size": 8, "num_epochs": 1,
+                     "learning_rate": 0.005},
+        "evaluation": {"save_every_epoch": True},
+    }
+    cfg_path = str(root / "Api.json")
+    json.dump(cfg, open(cfg_path, "w"))
+    from alignnet3d_tpu.cli import main
+
+    main(["train", "--config", cfg_path])
+    logdir = root / "runs" / "Api"
+    return str(logdir / "config.json"), str(logdir / "model-0.msgpack"), base
+
+
+def test_align_contract(trained, rng):
+    from alignnet3d_tpu.api import Aligner
+
+    config_path, ckpt, base = trained
+    aligner = Aligner.from_checkpoint(config_path, ckpt, batch_size=4)
+    pcs1 = [np.load(f"{base}/pointcloud1/{i:08d}.npy") for i in range(6)]
+    pcs2 = [np.load(f"{base}/pointcloud2/{i:08d}.npy") for i in range(6)]
+    out = aligner.align(pcs1, pcs2)
+    assert out["translations"].shape == (6, 3)
+    assert out["angles"].shape == (6,)
+    assert out["transforms"].shape == (6, 4, 4)
+    assert np.all(np.isfinite(out["transforms"]))
+    # the transform equals get_mat_angle(t, a, center)
+    from alignnet3d_tpu.geometry import get_mat_angle
+
+    M = get_mat_angle(out["translations"][0], out["angles"][0],
+                      out["centers"][0])
+    np.testing.assert_allclose(M, out["transforms"][0], atol=1e-6)
+
+
+def test_align_refined_improves_or_matches(trained, rng):
+    """For identical structured clouds, ICP refinement from the (barely
+    trained) network init must not make alignment worse, and with a
+    generous radius it should pull close to identity."""
+    from alignnet3d_tpu.api import Aligner
+
+    config_path, ckpt, base = trained
+    aligner = Aligner.from_checkpoint(config_path, ckpt, batch_size=4)
+    # box-surface cloud (structured, so ICP correspondences are meaningful)
+    pts = rng.uniform(-1, 1, (400, 3)) * np.array([2.0, 1.0, 0.8])
+    axis = rng.integers(0, 3, 400)
+    sign = rng.choice([-1.0, 1.0], 400)
+    for k, ext in enumerate([2.0, 1.0, 0.8]):
+        sel = axis == k
+        pts[sel, k] = sign[sel] * ext
+    pc = (pts + [6, 2, 0]).astype(np.float32)
+
+    raw = aligner.align([pc], [pc.copy()])
+    refined = aligner.align([pc], [pc.copy()], refine_icp=True,
+                            icp_radius=4.0)
+    err_raw = np.median(np.linalg.norm(
+        transform_points(pc, raw["transforms"][0]) - pc, axis=1))
+    err_ref = np.median(np.linalg.norm(
+        transform_points(pc, refined["transforms"][0]) - pc, axis=1))
+    assert err_ref <= err_raw * 1.05 + 1e-6
+    assert err_ref < 0.3, (err_raw, err_ref)
