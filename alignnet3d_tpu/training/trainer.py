@@ -436,6 +436,10 @@ class Trainer:
             if cfg.evaluation.has("scale_residuals")
             and cfg.evaluation.scale_residuals else 1.0
         )
+        do_resolve_flips = (
+            cfg.evaluation.has("resolve_flips")
+            and cfg.evaluation.resolve_flips
+        )
         loss_sum, cumulated_times = 0.0, 0.0
         for batch_idx in range(num_batches):
             start = batch_idx * batch_size
@@ -466,7 +470,22 @@ class Trainer:
                     residual_scale
                 )
                 P["pred_translations"][start:end] = out["pred_translations"][:actual]
-                P["pred_angles"][start:end, 0] = ang2 - ang1 + angr
+                composed = ang2 - ang1 + angr
+                if do_resolve_flips:
+                    # framework addition: disambiguate theta vs theta+pi by
+                    # on-device chamfer (ops/flip_resolve.py)
+                    from alignnet3d_tpu.ops.flip_resolve import (
+                        apply_flip_resolution,
+                    )
+
+                    t0 = time.time()
+                    composed, _ = apply_flip_resolution(
+                        batch[0][:actual], batch[1][:actual],
+                        out["pred_translations"][:actual], composed,
+                        out["pred_s2_pc1centers"][:actual],
+                    )
+                    cumulated_times += time.time() - t0
+                P["pred_angles"][start:end, 0] = composed
                 P["pred_s1_pc1centers"][start:end] = out["pred_s1_pc1centers"][:actual]
                 P["pred_s1_pc2centers"][start:end] = out["pred_s1_pc2centers"][:actual]
                 P["pred_s2_pc1centers"][start:end] = out["pred_s2_pc1centers"][:actual]
