@@ -93,10 +93,11 @@ class Aligner:
 
     def align(self, pcs1: Sequence[np.ndarray], pcs2: Sequence[np.ndarray],
               refine_icp: bool = False, icp_its: int = 30,
-              icp_radius: float = 0.1):
+              icp_radius: float = 0.1, resolve_flips: bool = False):
         """Align pairs of raw clouds. Returns dict with ``translations``
         (N, 3), ``angles`` (N,), ``centers`` (N, 3) and ``transforms``
-        (N, 4, 4)."""
+        (N, 4, 4). ``resolve_flips`` settles the 180-degree yaw ambiguity
+        of accept_inverted_angle models by on-device chamfer comparison."""
         assert len(pcs1) == len(pcs2)
         n = len(pcs1)
         nb = self.spec.num_bins
@@ -128,7 +129,17 @@ class Aligner:
                 self.residual_scale,
             )
             translations[s:e] = out["pred_translations"][:k]
-            angles[s:e] = ang2 - ang1 + angr
+            composed = ang2 - ang1 + angr
+            if resolve_flips:
+                from alignnet3d_tpu.ops.flip_resolve import (
+                    apply_flip_resolution,
+                )
+
+                composed, _ = apply_flip_resolution(
+                    a[:k], b[:k], out["pred_translations"][:k], composed,
+                    out["pred_s2_pc1centers"][:k],
+                )
+            angles[s:e] = composed
             centers[s:e] = out["pred_s2_pc1centers"][:k]
 
         if refine_icp:
