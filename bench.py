@@ -30,6 +30,13 @@ def main():
     import jax.numpy as jnp
     from functools import partial
 
+    # defensive scale-down when no accelerator is present (e.g. a broken
+    # tunnel): keep the contract (one JSON line) without a pathological
+    # multi-minute CPU run
+    global N_ITERS, BATCH
+    if jax.devices()[0].platform == "cpu":
+        N_ITERS, BATCH = 2, 64
+
     from alignnet3d_tpu.config import config_from_dict
     from alignnet3d_tpu.models.alignnet import AlignNet, ModelSpec
 
