@@ -562,6 +562,8 @@ class Trainer:
                         "accuracy/o_b_1cm": eval_dict.corr_levels[0],
                         "accuracy/o_c_10cm": eval_dict.corr_levels[1],
                         "accuracy/o_d_1m": eval_dict.corr_levels[2],
+                        "accuracy/fitness": eval_dict.reg_eval.fitness,
+                        "accuracy/inlier_rmse": eval_dict.reg_eval.inlier_rmse,
                     })
 
         for name, arr in P.items():
