@@ -333,7 +333,7 @@ class Trainer:
                 idxs[i * self.batch_size:(i + 1) * self.batch_size]
             )
 
-        loss_sum = 0.0
+        losses = []  # device scalars — no per-step host sync
         last_metrics = None
         profiling = False
         for batch_idx, batch in enumerate(
@@ -344,25 +344,31 @@ class Trainer:
                 profiling = True
             state, metrics = train_fn(state, batch, self._next_rng())
             last_metrics = metrics
-            loss_val = float(metrics["losses/loss"])
-            if not np.isfinite(loss_val):
-                if profiling:
-                    jax.profiler.stop_trace()
-                raise FloatingPointError(
-                    f"non-finite loss {loss_val} at epoch {epoch} step "
-                    f"{batch_idx}; last good checkpoint is in {self.logdir}"
-                )
-            loss_sum += loss_val
+            losses.append(metrics["losses/loss"])
             if profiling and batch_idx + 1 >= 1 + profile_steps:
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info(f"profiler trace written to {profile_cfg.dir}")
         if profiling:
             jax.profiler.stop_trace()
+        # single readback per epoch: the per-step float() sync costs a full
+        # dispatch round-trip each step on tunneled devices
+        if losses:
+            loss_vals = np.asarray(jnp.stack(losses))
+            bad = ~np.isfinite(loss_vals)
+            if bad.any():
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch} step "
+                    f"{int(np.argmax(bad))} (value "
+                    f"{loss_vals[np.argmax(bad)]}); last good checkpoint is "
+                    f"in {self.logdir}"
+                )
         if last_metrics is not None:
             writer.write(int(jax.device_get(state.step)), last_metrics)
         if num_batches:
-            logger.info("train mean loss: %f" % (loss_sum / float(num_batches)))
+            logger.info(
+                "train mean loss: %f" % (float(loss_vals.sum()) / num_batches)
+            )
         return state
 
     def eval_one_epoch(self, state: TrainState, epoch, eval_only: bool,
