@@ -1,1 +1,4 @@
-from alignnet3d_tpu.utils.platform import force_cpu  # noqa: F401
+from alignnet3d_tpu.utils.platform import (  # noqa: F401
+    force_cpu,
+    jax_backend_initialized,
+)
