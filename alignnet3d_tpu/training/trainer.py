@@ -97,6 +97,20 @@ class ScalarWriter:
                 k: float(v) for k, v in scalars.items()
             }}) + "\n")
 
+    def write_rows(self, steps, stacked: dict):
+        """One JSONL row per step from a dict of equal-length arrays.
+
+        Matches the reference's per-step train summaries (train.py:368)
+        without per-step host syncs: the caller stacks device scalars for
+        the whole epoch and flushes them here in one readback.
+        """
+        keys = list(stacked)
+        with open(self.path, "a") as f:
+            for i, step in enumerate(steps):
+                f.write(json.dumps({"step": int(step), **{
+                    k: float(stacked[k][i]) for k in keys
+                }}) + "\n")
+
 
 class TrainState(flax.struct.PyTreeNode):
     step: Any
@@ -333,8 +347,7 @@ class Trainer:
                 idxs[i * self.batch_size:(i + 1) * self.batch_size]
             )
 
-        losses = []  # device scalars — no per-step host sync
-        last_metrics = None
+        step_metrics = []  # dicts of device scalars — no per-step host sync
         profiling = False
         for batch_idx, batch in enumerate(
             provider.PrefetchIterator(make, num_batches, prefetch)
@@ -343,8 +356,7 @@ class Trainer:
                 jax.profiler.start_trace(profile_cfg.dir)
                 profiling = True
             state, metrics = train_fn(state, batch, self._next_rng())
-            last_metrics = metrics
-            losses.append(metrics["losses/loss"])
+            step_metrics.append(metrics)
             if profiling and batch_idx + 1 >= 1 + profile_steps:
                 jax.profiler.stop_trace()
                 profiling = False
@@ -353,8 +365,11 @@ class Trainer:
             jax.profiler.stop_trace()
         # single readback per epoch: the per-step float() sync costs a full
         # dispatch round-trip each step on tunneled devices
-        if losses:
-            loss_vals = np.asarray(jnp.stack(losses))
+        if step_metrics:
+            stacked = jax.device_get(
+                jax.tree.map(lambda *xs: jnp.stack(xs), *step_metrics)
+            )
+            loss_vals = np.asarray(stacked["losses/loss"])
             bad = ~np.isfinite(loss_vals)
             if bad.any():
                 raise FloatingPointError(
@@ -363,9 +378,11 @@ class Trainer:
                     f"{loss_vals[np.argmax(bad)]}); last good checkpoint is "
                     f"in {self.logdir}"
                 )
-        if last_metrics is not None:
-            writer.write(int(jax.device_get(state.step)), last_metrics)
-        if num_batches:
+            # per-step scalar rows, like the reference's per-step train
+            # summaries (train.py:368, tp8.py:336-353)
+            final_step = int(jax.device_get(state.step))
+            base = final_step - num_batches
+            writer.write_rows(range(base + 1, final_step + 1), stacked)
             logger.info(
                 "train mean loss: %f" % (float(loss_vals.sum()) / num_batches)
             )

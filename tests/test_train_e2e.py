@@ -73,6 +73,10 @@ def test_train_produces_artifacts(workspace):
     ]
     assert "losses/loss" in train_scalars[-1]
     assert "hyperparameters/learning_rate" in train_scalars[-1]
+    # one row per training step (reference emits per-step summaries,
+    # train.py:368): 32 samples / batch 8 = 4 steps/epoch x 2 epochs
+    assert [r["step"] for r in train_scalars] == list(range(1, 9))
+    assert all(np.isfinite(r["losses/loss"]) for r in train_scalars)
     val_scalars = [
         json.loads(line) for line in open(logdir / "val" / "scalars.jsonl")
     ]
