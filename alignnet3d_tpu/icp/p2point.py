@@ -225,13 +225,30 @@ def pad_full_clouds(dataset, file_indices, max_points: int = 4096,
 def refine_predictions(cfg, val_idxs, pred_translations, pred_angles,
                        pred_centers, its: int = 30, radius: float = 0.1,
                        dataset=None, pair_chunk: int = 128,
-                       max_points: int = 4096):
+                       max_points: int = 4096, gate: bool = False,
+                       gate_max_dyaw_deg: float = 15.0,
+                       gate_max_dxy: float = 0.5):
     """ICP-refine network predictions over the whole val set
     (replaces reference train.py:461-484's per-sample C++ loop).
 
     Initial transforms: get_mat_angle(pred_t, pred_a, center=pred_center)
     (reference train.py:465-467). Returns (dict with refined world-frame
     translations/angles, elapsed seconds).
+
+    ``gate`` (framework addition, cfg key evaluation.refinement_gate):
+    the reference applies refinement blanket to every pair
+    (train.py:463-484), but ICP from a good init DEGRADES accuracy at
+    large relative rotations — the scans see different object faces and
+    the partial-overlap chamfer minimum sits away from the truth
+    (docs/RESULTS.md "ICP refinement behavior"). Gating accepts the
+    refined transform per pair only when BOTH hold:
+    - it scores better than the init on the radius-gated registration
+      quality (fitness up, or equal fitness with inlier RMSE down) — the
+      init's score comes from a 0-iteration ICP call;
+    - it stays inside a trust region around the network init
+      (|dyaw| <= gate_max_dyaw_deg, |dxy| <= gate_max_dxy) — a refinement
+      that jumps far from a near-perfect init is chasing the wrong basin,
+      and chamfer alone cannot see that under partial overlap.
     """
     from alignnet3d_tpu.data.provider import PackedDataset
 
@@ -262,6 +279,25 @@ def refine_predictions(cfg, val_idxs, pred_translations, pred_angles,
             src, src_mask, dst, dst_mask, init, radius=radius, its=its,
             with_constraint=True,
         )
+        if gate:
+            # score the INIT with a 0-iteration pass (same NN/radius gate)
+            tf0, fit0, rmse0 = icp_p2point_batch(
+                src, src_mask, dst, dst_mask, init, radius=radius, its=0,
+                with_constraint=True,
+            )
+            yaw = np.arctan2(tf[:, 1, 0], tf[:, 0, 0])
+            yaw0 = np.arctan2(tf0[:, 1, 0], tf0[:, 0, 0])
+            dyaw = np.abs(
+                np.rad2deg((yaw - yaw0 + np.pi) % (2 * np.pi) - np.pi)
+            )
+            dxy = np.linalg.norm(tf[:, :2, 3] - tf0[:, :2, 3], axis=1)
+            better = (fit > fit0 + 1e-9) | (
+                (fit >= fit0 - 1e-9) & (rmse <= rmse0 + 1e-9)
+            )
+            accept = better & (dyaw <= gate_max_dyaw_deg) & (
+                dxy <= gate_max_dxy
+            )
+            tf = np.where(accept[:, None, None], tf, tf0)
         elapsed += time.time() - t0
         out_t[s:e] = tf[:, :3, 3]
         out_a[s:e, 0] = np.arctan2(tf[:, 1, 0], tf[:, 0, 0])

@@ -41,6 +41,7 @@ class LossSpec:
     soft_angle_classes: bool = False
     soft_angle_sigma_deg: float = 5.0
     inverted_angle_mode: str = "reference_max"  # 'reference_max' | 'min'
+    composite_translation: bool = False
 
     @classmethod
     def from_config(cls, cfg: Any) -> "LossSpec":
@@ -57,6 +58,10 @@ class LossSpec:
                 opts.inverted_angle_mode
                 if opts.has("inverted_angle_mode")
                 else "reference_max"
+            ),
+            composite_translation=(
+                opts.composite_translation
+                if opts.has("composite_translation") else False
             ),
         )
 
@@ -141,7 +146,30 @@ def loss_separate(
     a2 = _angle_losses(end_points["pred_pc2angle_logits"], pc2_angles, spec)
     s2_a = 0.5 * (a1[0] + a2[0])
 
-    s3_t = huber(end_points["pred_translations"] - translations, 2.0)
+    if spec.composite_translation:
+        # Framework addition (flag-controlled, off = reference semantics).
+        # At eval the predicted translation is interpreted as acting about
+        # the PREDICTED s2 center and re-based to the GT rotation center
+        # (reference train.py:465-467, evaluation.py:129):
+        #   t' = -s + Rz(a) s + t,  s = c_gt - c_pred.
+        # The reference trains t against the GT translation directly, so
+        # any center error leaks into t' as (Rz(a) - I) s. Train the
+        # (t, center) PAIR on the re-based translation instead — the exact
+        # quantity the metric scores. Rz uses the GT relative angle (the
+        # angle branch is near-exact at convergence and this keeps the
+        # term differentiable).
+        s = pc1_centers - end_points["pred_s2_pc1centers"]
+        ca, sa = jnp.cos(rel_angles), jnp.sin(rel_angles)
+        rot_s = jnp.stack(
+            [ca * s[:, 0] - sa * s[:, 1],
+             sa * s[:, 0] + ca * s[:, 1],
+             s[:, 2]],
+            axis=1,
+        )
+        rebased = end_points["pred_translations"] - s + rot_s
+        s3_t = huber(rebased - translations, 2.0)
+    else:
+        s3_t = huber(end_points["pred_translations"] - translations, 2.0)
 
     scale = np.pi / spec.num_bins
     pc1_pred = logits_to_angle(

@@ -522,10 +522,24 @@ class Trainer:
         if refine_icp:
             from alignnet3d_tpu.icp import refine_predictions
 
+            # framework addition: fitness/trust-region acceptance gate
+            # (cfg evaluation.refinement_gate; see icp/p2point.py)
+            gate_cfg = (
+                cfg.evaluation.refinement_gate
+                if cfg.evaluation.has("refinement_gate") else None
+            )
+            gate_kwargs = {}
+            if gate_cfg is not None and gate_cfg.enabled:
+                gate_kwargs["gate"] = True
+                if gate_cfg.has("max_dyaw_deg"):
+                    gate_kwargs["gate_max_dyaw_deg"] = gate_cfg.max_dyaw_deg
+                if gate_cfg.has("max_dxy"):
+                    gate_kwargs["gate_max_dxy"] = gate_cfg.max_dxy
             refined, icp_time = refine_predictions(
                 cfg, val_idxs,
                 P["pred_translations"], P["pred_angles"],
                 P["pred_s2_pc1centers"], its=icp_its, dataset=self.dataset,
+                **gate_kwargs,
             )
             P["pred_translations"] = refined["translations"]
             P["pred_angles"] = refined["angles"]

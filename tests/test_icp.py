@@ -141,3 +141,76 @@ def test_multistart_recovers_large_yaw(rng):
     err = np.abs(moved - dst).max()
     assert err < 0.05, err
     assert fit[0] > 0.95
+
+
+class _FakePacked:
+    """Duck-typed PackedDataset slice for refine_predictions tests."""
+
+    def __init__(self, clouds1, clouds2):
+        for k, clouds in ((1, clouds1), (2, clouds2)):
+            counts = np.array([len(c) for c in clouds], np.int64)
+            offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            setattr(self, f"counts{k}", counts)
+            setattr(self, f"offsets{k}", offsets)
+            setattr(self, f"points{k}",
+                    np.concatenate(clouds).astype(np.float32))
+
+    def rows(self, idxs):
+        return np.asarray(idxs)
+
+
+def test_gated_refinement_trust_region(rng):
+    """Gate mechanics (framework addition, VERDICT item 4): a zero-size
+    trust region returns exactly the init composition; the default gate
+    returns, per pair, either the init or the ungated refinement, and
+    never moves further from the init than the trust bounds."""
+    from alignnet3d_tpu.icp.p2point import refine_predictions
+
+    b = 6
+    clouds1, clouds2, gt_t, gt_yaw = [], [], [], []
+    for i in range(b):
+        src = _box_cloud(rng, n=300) + np.array([6.0, 2.0, 0.0])
+        yaw = rng.uniform(-1.2, 1.2)
+        t = rng.uniform(-0.5, 0.5, 3) * np.array([1, 1, 0.1])
+        M = get_mat_angle(t, yaw)
+        clouds1.append(src)
+        clouds2.append(transform_points(src, M))
+        gt_t.append(M[:3, 3])  # world-frame translation
+        gt_yaw.append(yaw)
+    ds = _FakePacked(clouds1, clouds2)
+    pred_t = np.asarray(gt_t, np.float32)
+    pred_a = np.asarray(gt_yaw, np.float32).reshape(-1, 1)
+    pred_c = np.zeros((b, 3), np.float32)  # world-frame preds
+    idxs = list(range(b))
+
+    zero_gate, _ = refine_predictions(
+        None, idxs, pred_t, pred_a, pred_c, its=20, dataset=ds,
+        gate=True, gate_max_dyaw_deg=0.0, gate_max_dxy=0.0,
+    )
+    np.testing.assert_allclose(zero_gate["translations"], pred_t, atol=1e-5)
+    np.testing.assert_allclose(
+        zero_gate["angles"].ravel(), pred_a.ravel(), atol=1e-5
+    )
+
+    ungated, _ = refine_predictions(
+        None, idxs, pred_t, pred_a, pred_c, its=20, dataset=ds,
+    )
+    gated, _ = refine_predictions(
+        None, idxs, pred_t, pred_a, pred_c, its=20, dataset=ds, gate=True,
+    )
+    for i in range(b):
+        took_init = np.allclose(
+            gated["translations"][i], pred_t[i], atol=1e-5
+        ) and np.allclose(gated["angles"][i], pred_a[i], atol=1e-5)
+        took_refined = np.allclose(
+            gated["translations"][i], ungated["translations"][i], atol=1e-5
+        ) and np.allclose(gated["angles"][i], ungated["angles"][i], atol=1e-5)
+        assert took_init or took_refined
+        dyaw = np.rad2deg(abs(
+            (gated["angles"][i, 0] - pred_a[i, 0] + np.pi) % (2 * np.pi)
+            - np.pi
+        ))
+        assert dyaw <= 15.0 + 1e-6
+        assert np.linalg.norm(
+            gated["translations"][i, :2] - pred_t[i, :2]
+        ) <= 0.5 + 1e-6

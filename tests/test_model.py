@@ -220,6 +220,62 @@ def test_zero_error_gives_small_separate_loss():
     assert float(aux["losses_stages/stage3_angle_residual_loss"]) < 1e-3
 
 
+def test_composite_translation_loss_matches_metric_rebase():
+    """With composite_translation on, stage-3 is zero exactly when the
+    metric's re-based translation (geometry.translate_transform_to_new_
+    center_of_rotation, used by evaluation.evaluate) equals the GT — even
+    when the predicted center is off. The plain loss penalizes the same
+    prediction."""
+    from alignnet3d_tpu.geometry import (
+        rotation_matrix_z,
+        translate_transform_to_new_center_of_rotation,
+    )
+
+    labels = _labels()
+    translations, rel_angles, pc1c, pc2c, pc1a, pc2a = labels
+    rng = np.random.default_rng(5)
+    # imperfect centers, like a real stage-2 prediction
+    pred_centers = pc1c + jnp.asarray(
+        rng.normal(scale=0.2, size=(B, 3)), jnp.float32
+    )
+    # the t that makes the COMPOSITE transform exact about pred_centers:
+    # t = gt_t + s - Rz(a) s,  s = c_gt - c_pred
+    s = np.asarray(pc1c - pred_centers, np.float64)
+    rot = rotation_matrix_z(np.asarray(rel_angles).reshape(-1))
+    t_consistent = (
+        np.asarray(translations, np.float64)
+        + s - np.einsum("bij,bj->bi", rot, s)
+    )
+    # sanity: metric rebase of (t_consistent, a, pred_centers) == gt_t
+    rebased = translate_transform_to_new_center_of_rotation(
+        t_consistent, np.asarray(rel_angles).reshape(-1),
+        np.asarray(pred_centers), np.asarray(pc1c),
+    )
+    np.testing.assert_allclose(rebased, np.asarray(translations), atol=1e-5)
+
+    nb = SPEC.num_bins
+    dummy_logits = jnp.zeros((B, 2 * nb))
+    end_points = {
+        "pred_s1_pc1centers": pc1c,
+        "pred_s1_pc2centers": pc2c,
+        "pred_s2_pc1centers": pred_centers,
+        "pred_s2_pc2centers": pc2c,
+        "pred_pc1angle_logits": dummy_logits,
+        "pred_pc2angle_logits": dummy_logits,
+        "pred_remaining_angle_logits": dummy_logits,
+        "pred_translations": jnp.asarray(t_consistent, jnp.float32),
+    }
+    pcs1, pcs2 = _batch()
+    args = (pcs1, pcs2, translations, rel_angles, pc1c, pc2c, pc1a, pc2a,
+            end_points)
+    _, aux_comp = get_loss(
+        *args, spec=LossSpec(num_bins=nb, composite_translation=True)
+    )
+    _, aux_plain = get_loss(*args, spec=LossSpec(num_bins=nb))
+    assert float(aux_comp["losses_stages/stage3_transl_loss"]) < 1e-6
+    assert float(aux_plain["losses_stages/stage3_transl_loss"]) > 1e-3
+
+
 def test_inverted_angle_modes_differ():
     """mode 'reference_max' keeps the larger of (theta, theta+pi) losses —
     the reference tf.cond quirk (tp8.py:288); 'min' keeps the smaller."""
