@@ -216,6 +216,94 @@ def ransac_registration(src, src_mask, dst, dst_mask, src_feat, dst_feat,
     return R, t, fitness, rmse
 
 
+@partial(jax.jit, static_argnames=("k",))
+def fpfh_features_batch(points, mask, radius, k: int = 32):
+    """Vmapped (B, N, 33) FPFH descriptors over a batch of padded clouds."""
+    return jax.vmap(lambda p, m: fpfh_features(p, m, radius, k=k))(
+        points, mask
+    )
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "ransac_n",
+                                   "with_constraint"))
+def ransac_registration_batch(src, src_mask, dst, dst_mask, src_feat,
+                              dst_feat, keys, distance_threshold,
+                              num_hypotheses: int = 2048, ransac_n: int = 4,
+                              with_constraint: bool = True,
+                              edge_length_ratio: float = 0.9):
+    """Vmapped parallel-hypothesis RANSAC over a batch of pairs."""
+    return jax.vmap(
+        lambda a, am, b, bm, fa, fb, k: ransac_registration(
+            a, am, b, bm, fa, fb, k, distance_threshold,
+            num_hypotheses=num_hypotheses, ransac_n=ransac_n,
+            with_constraint=with_constraint,
+            edge_length_ratio=edge_length_ratio,
+        )
+    )(src, src_mask, dst, dst_mask, src_feat, dst_feat, keys)
+
+
+def prep_downsampled_batch(clouds, masks, voxel_size: float,
+                           max_points: int = 2048):
+    """Host-side voxel downsample of a chunk of padded clouds into one
+    padded (B, max_points, 3) array + mask (the only non-device stage of
+    the global-registration pipeline)."""
+    b = len(clouds)
+    pts = np.zeros((b, max_points, 3), np.float32)
+    msk = np.zeros((b, max_points), bool)
+    for i in range(b):
+        cloud = clouds[i][masks[i]] if masks is not None else clouds[i]
+        down = voxel_downsample(cloud, voxel_size, max_points=max_points)
+        c = min(len(down), max_points)
+        pts[i, :c] = down[:c]
+        msk[i, :c] = True
+    return pts, msk
+
+
+def global_registration_batch(src, src_mask, dst, dst_mask,
+                              voxel_size: float = 0.05, seed: int = 0,
+                              method: str = "ransac",
+                              with_constraint: bool = True,
+                              max_points: int = 2048,
+                              num_hypotheses: int = 2048):
+    """Batched FPFH global registration for a chunk of padded pairs.
+
+    ``method``: 'ransac' (reference icp_o3_gicp, icp.py:85-105) or 'fgr'
+    (reference icp_o3_gicp_fast, icp.py:121-143 — see icp/fgr.py).
+    Replaces the per-pair Python loop with three device launches
+    (features x2, registration). Returns (transforms (B,4,4), fitness,
+    rmse) numpy.
+    """
+    radius_feature = voxel_size * 5.0
+    distance_threshold = voxel_size * 1.5
+    sp, sm = prep_downsampled_batch(src, src_mask, voxel_size, max_points)
+    dp, dm = prep_downsampled_batch(dst, dst_mask, voxel_size, max_points)
+    sp_j, sm_j = jnp.asarray(sp), jnp.asarray(sm)
+    dp_j, dm_j = jnp.asarray(dp), jnp.asarray(dm)
+    sf, _ = fpfh_features_batch(sp_j, sm_j, radius_feature)
+    df, _ = fpfh_features_batch(dp_j, dm_j, radius_feature)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(sp))
+    if method == "ransac":
+        R, t, fit, rmse = ransac_registration_batch(
+            sp_j, sm_j, dp_j, dm_j, sf, df, keys, distance_threshold,
+            num_hypotheses=num_hypotheses, with_constraint=with_constraint,
+        )
+    elif method == "fgr":
+        from alignnet3d_tpu.icp.fgr import fgr_batch_jit
+
+        R, t, fit, rmse = fgr_batch_jit(
+            sp_j, sm_j, dp_j, dm_j, sf, df, keys,
+            with_constraint=with_constraint,
+            distance_threshold=distance_threshold,
+        )
+    else:
+        raise ValueError(f"unknown global registration method {method!r}")
+    R, t = np.asarray(R), np.asarray(t)
+    out = np.tile(np.eye(4), (len(R), 1, 1))
+    out[:, :3, :3] = R
+    out[:, :3, 3] = t
+    return out, np.asarray(fit), np.asarray(rmse)
+
+
 def fpfh_ransac_pair(src_full: np.ndarray, dst_full: np.ndarray,
                      voxel_size: float = 0.05, seed: int = 0,
                      num_hypotheses: int = 2048,

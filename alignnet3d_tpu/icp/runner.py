@@ -4,12 +4,14 @@ icp.py:150-213 (invoked for configs with evaluation.special.mode == 'icp').
 Variants (reference make_icp_configs.py:6-26):
 - ``p2point``: centroid-difference init + constrained p2point ICP,
   radius 0.10 (reference icp.py:184-185, 69-78);
-- ``o3_gicp`` / ``o3_gicp_fast``: initialization-free registration. The
-  reference uses FPFH + RANSAC (4M iterations) / Fast Global Registration
-  through the Open3D fork; here the 1-DoF rotation space is enumerated
-  directly — a parallel yaw multi-start with coarse-to-fine constrained ICP
-  (icp/p2point.py:multistart_global_registration), one batched device
-  launch instead of per-sample C++ calls;
+- ``o3_gicp``: FPFH features + parallel-hypothesis RANSAC (reference
+  icp.py:85-105), fully batched over pairs (icp/fpfh.py);
+- ``o3_gicp_fast``: FPFH features + Fast Global Registration —
+  graduated non-convexity over the Geman-McClure penalty, constrained
+  variant included (reference icp.py:121-143; icp/fgr.py);
+- ``multistart`` (framework addition): the 1-DoF rotation space
+  enumerated directly — parallel yaw multi-start with coarse-to-fine
+  constrained ICP (icp/p2point.py:multistart_global_registration);
 - ``*_p2p`` refinement variants reuse the precomputed global-registration
   outputs and add their stored mean_time to the budget
   (reference icp.py:160-170).
@@ -122,25 +124,32 @@ def evaluate(cfg, use_old_results: bool = False, pair_chunk: int = 128,
                         src, sm, dst, dm, init, radius=0.10, its=30,
                         with_constraint=with_constraint,
                     )
-                elif variant == "o3_gicp":
-                    # FPFH + parallel-hypothesis RANSAC (reference
-                    # icp_o3_gicp, icp.py:85-105)
-                    from alignnet3d_tpu.icp.fpfh import fpfh_ransac_pair
-
-                    tf = np.empty((e - s, 4, 4))
-                    fit = np.empty(e - s)
-                    rmse = np.empty(e - s)
-                    for i in range(e - s):
-                        tf[i], fit[i], rmse[i] = fpfh_ransac_pair(
-                            src[i][sm[i]], dst[i][dm[i]],
-                            with_constraint=with_constraint, seed=s + i,
-                        )
                 else:
-                    # fast variant: yaw multi-start (the FGR analogue —
-                    # enumerate the 1-DoF rotation space)
-                    tf, fit, rmse = multistart_global_registration(
-                        src, sm, dst, dm, num_yaw_hypotheses=8
+                    # o3_gicp: FPFH + parallel-hypothesis RANSAC
+                    # (reference icp_o3_gicp, icp.py:85-105);
+                    # o3_gicp_fast: FPFH + Fast Global Registration
+                    # (reference icp_o3_gicp_fast, icp.py:121-143;
+                    # icp/fgr.py). Both fully batched — one set of
+                    # device launches per chunk, no per-pair loop.
+                    from alignnet3d_tpu.icp.fpfh import (
+                        global_registration_batch,
                     )
+
+                    method = "ransac" if variant == "o3_gicp" else "fgr"
+                    voxel = (
+                        icp_cfg.voxel_size
+                        if icp_cfg.has("voxel_size") else 0.05
+                    )
+                    tf, fit, rmse = global_registration_batch(
+                        src, sm, dst, dm, voxel_size=voxel, seed=s,
+                        method=method, with_constraint=with_constraint,
+                    )
+            elif variant == "multistart":
+                # framework addition: initialization-free yaw multi-start
+                # (enumerate the 1-DoF rotation space; round-1 baseline)
+                tf, fit, rmse = multistart_global_registration(
+                    src, sm, dst, dm, num_yaw_hypotheses=8
+                )
             else:
                 raise AssertionError(f"unimplemented ICP variant {variant!r}")
             total_time += time.time() - t0

@@ -12,11 +12,19 @@ Measurement notes: on this box the TPU is reached through a tunnel where
 one jitted ``lax.scan`` (each iteration's input is perturbed by the
 previous output, so nothing can be elided) and forces one host readback;
 the per-call overhead then amortizes below 2%.
+
+``--mesh`` additionally data-parallelizes the batch over ALL local
+devices via a 1-D ``jax.sharding.Mesh`` (params replicated, batch axis
+sharded) and adds a ``devices`` field to the JSON line — the one-command
+scaling measurement for whenever >1 chip is attached. ``--devices N``
+forces an N-device virtual CPU mesh (for the scaling-curve sanity
+artifact, docs/SCALING.md).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -25,7 +33,18 @@ N_ITERS = 50
 BATCH = 1024
 
 
-def main():
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    use_mesh = "--mesh" in argv
+    force_devices = 0
+    if "--devices" in argv:
+        force_devices = int(argv[argv.index("--devices") + 1])
+        use_mesh = True
+    if force_devices:
+        from alignnet3d_tpu.utils import force_cpu
+
+        force_cpu(force_devices)
+
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -58,7 +77,8 @@ def main():
     spec = ModelSpec.from_config(cfg)
     model = AlignNet(spec)
 
-    B, N = BATCH, spec.num_points
+    n_dev = len(jax.devices()) if use_mesh else 1
+    B, N = BATCH * n_dev, spec.num_points
     rng = np.random.default_rng(0)
     pcs1 = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
     pcs2 = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
@@ -66,6 +86,16 @@ def main():
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         pcs1[:2], pcs2[:2], train=False,
     )
+
+    if use_mesh:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+        batch_sharding = NamedSharding(mesh, P("dp"))
+        replicated = NamedSharding(mesh, P())
+        pcs1 = jax.device_put(pcs1, batch_sharding)
+        pcs2 = jax.device_put(pcs2, batch_sharding)
+        variables = jax.device_put(variables, replicated)
 
     @partial(jax.jit, static_argnums=(3,))
     def chained(v, a, b, n):
@@ -88,12 +118,15 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     pairs_per_sec = B * N_ITERS / best
-    print(json.dumps({
+    record = {
         "metric": "align_pairs_per_sec",
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / 10000.0, 3),
-    }))
+    }
+    if use_mesh:
+        record["devices"] = n_dev
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

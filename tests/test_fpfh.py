@@ -92,3 +92,65 @@ def test_ransac_constraint_yields_yaw_only(rng):
     )
     assert np.allclose(out[2, :2], 0.0, atol=1e-6)
     assert np.allclose(out[:2, 2], 0.0, atol=1e-6)
+
+
+def test_fgr_recovers_large_yaw(rng):
+    """Fast Global Registration (icp/fgr.py) lands in the right basin on a
+    137-degree yaw with translation; p2p refine finishes the job (the
+    reference's o3_gicp_fast_p2p variant, icp.py:121-143)."""
+    src = _L_cloud(rng) + np.array([3.0, 1.0, 0.0], np.float32)
+    gt = get_mat_angle([0.5, -0.3, 0.0], 2.4)
+    dst = transform_points(src, gt).astype(np.float32)
+    out, fit, rmse = fpfh.global_registration_batch(
+        src[None], np.ones((1, len(src)), bool),
+        dst[None], np.ones((1, len(dst)), bool),
+        voxel_size=0.05, method="fgr", max_points=512,
+    )
+    moved = transform_points(src, out[0])
+    err = np.linalg.norm(moved - dst, axis=1)
+    assert np.median(err) < 0.35, (np.median(err), fit, rmse)
+
+    from alignnet3d_tpu.icp.p2point import icp_p2point_batch
+
+    m = np.ones((1, len(src)), bool)
+    tf, fit2, _ = icp_p2point_batch(
+        src[None], m, dst[None], m, out, radius=0.1, its=30
+    )
+    refined = transform_points(src, tf[0])
+    assert np.median(np.linalg.norm(refined - dst, axis=1)) < 0.02
+
+
+def test_fgr_constraint_yields_yaw_only(rng):
+    src = _L_cloud(rng)
+    gt = get_mat_angle([0.2, 0.1, 0.0], -1.0)
+    dst = transform_points(src, gt).astype(np.float32)
+    out, _, _ = fpfh.global_registration_batch(
+        src[None], np.ones((1, len(src)), bool),
+        dst[None], np.ones((1, len(dst)), bool),
+        voxel_size=0.05, method="fgr", max_points=384,
+    )
+    assert np.allclose(out[0][2, :2], 0.0, atol=1e-6)
+    assert np.allclose(out[0][:2, 2], 0.0, atol=1e-6)
+
+
+def test_batched_ransac_matches_per_pair(rng):
+    """global_registration_batch(method='ransac') recovers each pair of a
+    heterogeneous 3-pair batch (the vmapped replacement of the round-1
+    per-pair loop)."""
+    pairs = []
+    for k, yaw in enumerate((0.6, -1.2, 2.0)):
+        src = _L_cloud(rng, n=300) + np.array([2.0 + k, 1.0, 0.0],
+                                              np.float32)
+        gt = get_mat_angle([0.2, -0.1, 0.0], yaw)
+        dst = transform_points(src, gt).astype(np.float32)
+        pairs.append((src, dst, gt))
+    src = np.stack([p[0] for p in pairs])
+    dst = np.stack([p[1] for p in pairs])
+    msk = np.ones(src.shape[:2], bool)
+    out, fit, rmse = fpfh.global_registration_batch(
+        src, msk, dst, msk, voxel_size=0.05, method="ransac",
+        max_points=384, num_hypotheses=1024,
+    )
+    for i, (s, d, _) in enumerate(pairs):
+        moved = transform_points(s, out[i])
+        assert np.median(np.linalg.norm(moved - d, axis=1)) < 0.35, i
