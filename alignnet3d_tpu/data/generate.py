@@ -25,6 +25,9 @@ VARIANTS = {
     "SynthCarsPersons": dict(allow_persons=True, second_object_set=False),
     "Synth20": dict(allow_persons=True, second_object_set=False),
     "Synth20others": dict(allow_persons=True, second_object_set=True),
+    # mesh-raycast variant: procedural car meshes through the native BVH
+    # (the reference's Embree pipeline, pointcloud.py:1119-1138)
+    "SynthCarsMesh": dict(),
 }
 
 
@@ -40,10 +43,18 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     kwargs = VARIANTS[args.variant]
-    train_idx, val_idx = generate_dataset(
-        args.out, num_train=args.num_train, num_val=args.num_val,
-        seed=args.seed, vres=args.vres, hres=args.hres, **kwargs,
-    )
+    if args.variant == "SynthCarsMesh":
+        from alignnet3d_tpu.data.mesh_raycast import generate_mesh_dataset
+
+        train_idx, val_idx = generate_mesh_dataset(
+            args.out, num_train=args.num_train, num_val=args.num_val,
+            seed=args.seed, vres=args.vres, hres=args.hres,
+        )
+    else:
+        train_idx, val_idx = generate_dataset(
+            args.out, num_train=args.num_train, num_val=args.num_val,
+            seed=args.seed, vres=args.vres, hres=args.hres, **kwargs,
+        )
     print(f"{args.variant}: wrote {len(train_idx)} train / "
           f"{len(val_idx)} val scenes to {args.out}")
 

@@ -182,6 +182,102 @@ def _scan_mesh_numpy(vertices, faces, dirs, max_range):
     return dirs[hit] * best[hit, None]
 
 
+def procedural_car_mesh(rng: np.random.Generator):
+    """A watertight low-poly car mesh (prism over a randomized side
+    profile): bottom, nose, hood, windshield, roof, rear window, tail.
+
+    Stands in for the reference's ModelNet car meshes
+    (pointcloud.py:1077-1087, 1119-1138) in environments without the
+    ModelNet files; each call draws one silhouette, so a fixed set of
+    calls forms a discrete shape library like the reference's 50 meshes.
+    Returns (vertices (V, 3) float32, faces (F, 3) int32).
+    """
+    nose_h = rng.uniform(0.28, 0.45)
+    hood_h = rng.uniform(0.48, 0.62)
+    windshield_x = rng.uniform(0.58, 0.70)
+    roof_front_x = rng.uniform(0.44, 0.56)
+    roof_rear_x = rng.uniform(0.18, 0.30)
+    tail_x = rng.uniform(0.02, 0.10)
+    tail_h = rng.uniform(0.55, 0.95)       # sedan .55 .. hatchback .95
+    width = rng.uniform(0.38, 0.48)
+    # side profile, counterclockwise in (x, z); front of car at x=1
+    profile = np.array([
+        [0.00, 0.06],
+        [1.00, 0.06],
+        [1.00, nose_h],
+        [windshield_x, hood_h],
+        [roof_front_x, 1.00],
+        [roof_rear_x, 1.00],
+        [tail_x, tail_h],
+        [0.00, tail_h * 0.9],
+    ], np.float32)
+    k = len(profile)
+    half_w = width / 2.0
+    left = np.column_stack([profile[:, 0], np.full(k, -half_w),
+                            profile[:, 1]])
+    right = np.column_stack([profile[:, 0], np.full(k, half_w),
+                             profile[:, 1]])
+    vertices = np.concatenate([left, right]).astype(np.float32)
+
+    faces = []
+    # side faces: fan triangulation (the profile is star-shaped)
+    for i in range(1, k - 1):
+        faces.append([0, i, i + 1])              # left side
+        faces.append([k, k + i + 1, k + i])      # right side
+    # band quads connecting the two sides along each profile edge
+    for i in range(k):
+        j = (i + 1) % k
+        faces.append([i, j, k + j])
+        faces.append([i, k + j, k + i])
+    return vertices, np.asarray(faces, np.int32)
+
+
+def generate_mesh_dataset(basepath: str, num_train: int, num_val: int,
+                          seed: int = 0, vres: int = 64, hres: int = 1500,
+                          polar_dist_range=(4, 20), library_size: int = 50,
+                          scale_range=(3.5, 5.5), min_points: int = 5):
+    """Generate a full dataset directory by ray-casting procedural car
+    meshes — the mesh-based analogue of synthetic.generate_dataset and
+    of the reference's Embree pipeline (pointcloud.py:1119-1138).
+
+    A discrete ``library_size``-mesh library is drawn once from ``seed``
+    (matching the reference's 50 fixed ModelNet meshes); each scene picks
+    one mesh, a scale, and a random planar pose pair.
+    """
+    lib_rng = np.random.default_rng(seed ^ 0x5EED)
+    library = [Mesh(*procedural_car_mesh(lib_rng))
+               for _ in range(library_size)]
+
+    os.makedirs(os.path.join(basepath, "split"), exist_ok=True)
+    n_total = num_train + num_val
+    written = 0
+    attempt = 0
+    indices = []
+    while written < n_total:
+        scene_seed = seed * 1_000_003 + attempt
+        attempt += 1
+        rng = np.random.default_rng(scene_seed)
+        mesh_id = int(rng.integers(0, library_size))
+        scale = float(rng.uniform(*scale_range))
+        scene = MeshScene(
+            library[mesh_id], seed=scene_seed, mesh_scale=scale,
+            polar_dist_range=polar_dist_range, vres=vres, hres=hres,
+            meta_extra={"mesh_id": mesh_id, "object_type": "car"},
+        )
+        scene.generate_pointcloud()
+        if min(len(pc) for pc in scene.pointclouds) < min_points:
+            continue
+        scene.save(basepath, written)
+        indices.append(written)
+        written += 1
+    train_idx = indices[:num_train]
+    val_idx = indices[num_train:]
+    for name, idxs in (("train", train_idx), ("val", val_idx)):
+        with open(f"{basepath}/split/{name}.txt", "w") as f:
+            f.write("\n".join(str(i) for i in idxs) + "\n")
+    return train_idx, val_idx
+
+
 class MeshScene:
     """Mesh-based scene sample — ``SyntheticScene`` with a real mesh
     (reference SyntheticScene + generate_pointcloud_embree,
