@@ -22,6 +22,14 @@ from alignnet3d_tpu.ops.transforms import apply_rigid
 
 def _one_sided_chamfer(moved, target):
     """Mean over points of the nearest-neighbor distance (B,)."""
+    if jax.default_backend() == "tpu":
+        # fused Pallas NN reduction — the (B, N, N) distance matrix never
+        # leaves VMEM (ops/nn_kernels.py; 1.05-1.5x over the XLA path)
+        from alignnet3d_tpu.ops.nn_kernels import nn_argmin_pallas
+
+        mask = jnp.ones(target.shape[:2], bool)
+        _, d2 = jax.vmap(nn_argmin_pallas)(moved, target, mask)
+        return jnp.mean(jnp.sqrt(d2), axis=1)
     d2 = (
         jnp.sum(moved ** 2, axis=-1)[:, :, None]
         - 2.0 * jnp.einsum("bnd,bmd->bnm", moved, target)
