@@ -54,3 +54,27 @@ def test_render_pair_writes_png(tmp_path, rng):
         gt_translation=[0.5, 0.2, 0.0], gt_angle=0.0, out_path=out,
     )
     assert os.path.isfile(out) and os.path.getsize(out) > 1000
+
+def test_export_html_scene(tmp_path, rng):
+    pc1 = rng.normal(size=(40, 3)).astype(np.float32) + [5, 0, 0]
+    pc2 = pc1 + [0.3, -0.1, 0.0]
+    out = str(tmp_path / "scene.html")
+    viz.export_html_scene(
+        pc1, pc2, out,
+        pred_translation=[0.3, -0.1, 0.0], pred_angle=0.1,
+        pred_center=pc1.mean(0),
+        gt_translation=[0.3, -0.1, 0.0], gt_angle=0.0,
+        gt_center=pc1.mean(0),
+        extra_layers=[("refined", pc1 + 0.01)],
+    )
+    text = open(out).read()
+    # standalone: no external scripts/links
+    assert "src=" not in text and "http" not in text.split("<body>")[1]
+    for name in ("pc1", "pc2", "pc1 @ prediction", "pc1 @ ground truth",
+                 "centers", "refined"):
+        assert name in text
+    # all six layers carry point data
+    import json as _json
+    blob = text.split("const LAYERS = ")[1].split(";\n")[0]
+    layers = _json.loads(blob)
+    assert len(layers) == 6 and all(len(l["pts"]) > 0 for l in layers)
