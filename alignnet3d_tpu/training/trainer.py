@@ -535,6 +535,11 @@ class Trainer:
                     gate_kwargs["gate_max_dyaw_deg"] = gate_cfg.max_dyaw_deg
                 if gate_cfg.has("max_dxy"):
                     gate_kwargs["gate_max_dxy"] = gate_cfg.max_dxy
+            # framework addition: correspondence radius override (the
+            # reference hardwires radius=0.1, train.py:469)
+            if (cfg.evaluation.has("refinement")
+                    and cfg.evaluation.refinement.has("radius")):
+                gate_kwargs["radius"] = cfg.evaluation.refinement.radius
             refined, icp_time = refine_predictions(
                 cfg, val_idxs,
                 P["pred_translations"], P["pred_angles"],
