@@ -54,7 +54,9 @@ def main():
              "--eval_epoch", str(epoch)],
             cwd=REPO, capture_output=True, text=True, timeout=1800,
         )
-        refined = os.path.join(eval_dir, "refined_p2p", "eval_180.json")
+        suffix = f"_{its}" if its != 30 else ""
+        refined = os.path.join(
+            eval_dir, f"refined_p2p{suffix}", "eval_180.json")
         if proc.returncode != 0 or not os.path.isfile(refined):
             print(f"{name}: FAILED rc={proc.returncode}")
             print(proc.stderr[-2000:])
