@@ -69,7 +69,9 @@ def setup_logging(logdir: str):
     fmt = logging.Formatter(
         "%(asctime)s %(name)-12s %(levelname)-8s %(message)s", "%Y-%m-%d %H:%M:%S"
     )
-    sh = logging.StreamHandler()
+    # tqdm-aware: log lines go through tqdm.write so active progress
+    # bars aren't torn (reference train.py:58-83)
+    sh = _TqdmLoggingHandler()
     sh.setLevel(logging.INFO)
     sh.setFormatter(fmt)
     root.addHandler(sh)
@@ -81,6 +83,55 @@ def setup_logging(logdir: str):
     fh.setLevel(logging.DEBUG)
     fh.setFormatter(fmt)
     root.addHandler(fh)
+
+
+class _TqdmLoggingHandler(logging.StreamHandler):
+    """Stream handler that routes records through ``tqdm.write`` so log
+    lines don't tear active progress bars (reference train.py:58-83's
+    TqdmLoggingHandler)."""
+
+    def emit(self, record):
+        try:
+            from tqdm import tqdm
+
+            tqdm.write(self.format(record))
+            self.flush()
+        except Exception:  # pragma: no cover - mirror logging's own policy
+            self.handleError(record)
+
+
+def progress(iterable=None, desc: str = "", total=None):
+    """tqdm wrapper that logs its final repr when the bar closes
+    (reference train.py:114-126's tqdm subclass) so throughput stats
+    land in out.log even though the live bar writes to stderr.
+
+    The live bar renders only on a tty; piped runs — like this repo's
+    nohup'd training — track silently (bar to /dev/null) and still get
+    the closing stats line, without control-character spam.
+    """
+    import sys
+
+    from tqdm import tqdm
+
+    devnull = None if sys.stderr.isatty() else open(os.devnull, "w")
+
+    class _LoggingTqdm(tqdm):
+        def close(self):
+            if not getattr(self, "_logged_final", False):
+                self._logged_final = True
+                if self.total:
+                    logger.debug("progress %s", str(self))
+            super().close()
+            if devnull is not None and not devnull.closed:
+                devnull.close()
+
+    kwargs = {}
+    if devnull is not None:
+        kwargs["file"] = devnull
+    return _LoggingTqdm(
+        iterable, desc=desc, total=total, mininterval=0.5, leave=False,
+        **kwargs,
+    )
 
 
 class ScalarWriter:
@@ -349,9 +400,10 @@ class Trainer:
 
         step_metrics = []  # dicts of device scalars — no per-step host sync
         profiling = False
-        for batch_idx, batch in enumerate(
-            provider.PrefetchIterator(make, num_batches, prefetch)
-        ):
+        for batch_idx, batch in enumerate(progress(
+            provider.PrefetchIterator(make, num_batches, prefetch),
+            desc=f"train epoch {epoch}", total=num_batches,
+        )):
             if profile_steps and batch_idx == 1:  # skip compile step
                 jax.profiler.start_trace(profile_cfg.dir)
                 profiling = True
@@ -464,7 +516,9 @@ class Trainer:
             and cfg.evaluation.resolve_flips
         )
         loss_sum, cumulated_times = 0.0, 0.0
-        for batch_idx in range(num_batches):
+        for batch_idx in progress(range(num_batches),
+                                  desc=f"eval epoch {epoch}",
+                                  total=num_batches):
             start = batch_idx * batch_size
             end = min(start + batch_size, n_val)
             actual = end - start

@@ -89,3 +89,19 @@ def test_profiler_hook(tmp_path):
         for _, _, files in os.walk(trace_root) for f in files
     )
     assert found, list(os.walk(trace_root))
+
+
+def test_tqdm_progress_logs_final_stats(tmp_path, caplog):
+    """reference train.py:114-126: the bar's final stats land in the log."""
+    import logging as _logging
+
+    from alignnet3d_tpu.training.trainer import progress, setup_logging
+
+    setup_logging(str(tmp_path))
+    with caplog.at_level(_logging.DEBUG, logger="alignnet3d_tpu"):
+        bar = progress(range(7), desc="unit", total=7)
+        for _ in bar:
+            pass
+        bar.close()
+    msgs = [r.message for r in caplog.records if "progress" in r.message]
+    assert msgs and "7/7" in msgs[-1]
