@@ -253,9 +253,10 @@ def export_html_scene(
 
 
 def render_eval_samples(cfg, eval_dir: str, sample_indices, out_dir: str,
-                        dataset=None):
+                        dataset=None, html: bool = False):
     """Render prediction overlays for chosen val samples from a completed
-    eval directory's artifacts."""
+    eval directory's artifacts. With ``html=True`` an interactive
+    standalone viewer (export_html_scene) is written next to each PNG."""
     import os
 
     from alignnet3d_tpu.data.provider import PackedDataset, getDataFiles
@@ -274,13 +275,15 @@ def render_eval_samples(cfg, eval_dir: str, sample_indices, out_dir: str,
         o2, c2 = dataset.offsets2[row], dataset.counts2[row]
         pc1 = dataset.points1[o1: o1 + c1]
         pc2 = dataset.points2[o2: o2 + c2]
-        render_pair(
-            pc1, pc2,
+        kwargs = dict(
             pred_translation=pred_t[pos], pred_angle=float(pred_a[pos]),
             pred_center=pred_c[pos],
             gt_translation=dataset.translations[row],
             gt_angle=float(dataset.rel_angles[row, 0]),
             gt_center=dataset.pc1centers[row],
-            out_path=os.path.join(out_dir, f"sample_{val_idxs[pos]:08d}.png"),
             title=f"val sample {val_idxs[pos]}",
         )
+        stem = os.path.join(out_dir, f"sample_{val_idxs[pos]:08d}")
+        render_pair(pc1, pc2, out_path=stem + ".png", **kwargs)
+        if html:
+            export_html_scene(pc1, pc2, stem + ".html", **kwargs)
