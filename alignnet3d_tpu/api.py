@@ -82,14 +82,30 @@ class Aligner:
         return cls(spec, variables, scale_residuals=scale, **kwargs)
 
     def _resample(self, clouds: Sequence[np.ndarray]) -> np.ndarray:
+        """Uniform resample-with-replacement to the model point count,
+        vectorized over the batch: one RNG draw + one gather instead of a
+        per-cloud loop (the loop dominated large-batch serving latency,
+        docs/RESULTS.md p50 table)."""
         n = self.spec.num_points
-        out = np.zeros((len(clouds), n, 3), np.float32)
-        for i, pc in enumerate(clouds):
-            pc = np.asarray(pc, np.float32)
-            if len(pc):
-                pick = self._rng.integers(0, len(pc), n)
-                out[i] = pc[pick, :3]
-        return out
+        m = len(clouds)
+        arrs = [np.asarray(c, np.float32).reshape(-1, np.shape(c)[-1]
+                                                  if np.ndim(c) > 1 else 3)
+                for c in clouds]
+        lens = np.fromiter((len(a) for a in arrs), np.int64, m)
+        total = int(lens.sum())
+        if total == 0:
+            return np.zeros((m, n, 3), np.float32)
+        flat = np.concatenate([a[:, :3] for a in arrs if len(a)])
+        offs = np.zeros(m, np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        # scale one uniform block by per-cloud lengths (empty -> index 0,
+        # zeroed below — reference provider.py:95-96 empty-cloud behavior)
+        idx = (self._rng.random((m, n)) * lens[:, None]).astype(np.int64)
+        idx = np.minimum(idx, np.maximum(lens - 1, 0)[:, None])
+        out = flat[(idx + offs[:, None]).ravel()].reshape(m, n, 3)
+        if (lens == 0).any():
+            out[lens == 0] = 0.0
+        return np.ascontiguousarray(out, np.float32)
 
     def align(self, pcs1: Sequence[np.ndarray], pcs2: Sequence[np.ndarray],
               refine_icp: bool = False, icp_its: int = 30,
