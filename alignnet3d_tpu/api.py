@@ -102,7 +102,11 @@ class Aligner:
         # zeroed below — reference provider.py:95-96 empty-cloud behavior)
         idx = (self._rng.random((m, n)) * lens[:, None]).astype(np.int64)
         idx = np.minimum(idx, np.maximum(lens - 1, 0)[:, None])
-        out = flat[(idx + offs[:, None]).ravel()].reshape(m, n, 3)
+        # clamp gathered indices: an EMPTY cloud that is not the first has
+        # offs == its successor's start (== len(flat) when it is last),
+        # which would index out of bounds; its rows are zeroed below anyway
+        gather = np.minimum((idx + offs[:, None]).ravel(), total - 1)
+        out = flat[gather].reshape(m, n, 3)
         if (lens == 0).any():
             out[lens == 0] = 0.0
         return np.ascontiguousarray(out, np.float32)

@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     flags = build_parser().parse_args(argv)
 
+    # pod-scale: connect this process to its peers when the ALIGNNET_*
+    # distributed env vars are present (no-op otherwise); must precede
+    # any JAX use (parallel/multihost.py)
+    from alignnet3d_tpu.parallel import multihost
+
+    multihost.maybe_initialize()
+
     from alignnet3d_tpu.config import load_config
 
     cfg = load_config(flags.config)

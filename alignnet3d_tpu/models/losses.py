@@ -42,6 +42,7 @@ class LossSpec:
     soft_angle_sigma_deg: float = 5.0
     inverted_angle_mode: str = "reference_max"  # 'reference_max' | 'min'
     composite_translation: bool = False
+    flip_aware_composite: bool = False
 
     @classmethod
     def from_config(cls, cfg: Any) -> "LossSpec":
@@ -62,6 +63,10 @@ class LossSpec:
             composite_translation=(
                 opts.composite_translation
                 if opts.has("composite_translation") else False
+            ),
+            flip_aware_composite=(
+                opts.flip_aware_composite
+                if opts.has("flip_aware_composite") else False
             ),
         )
 
@@ -146,6 +151,14 @@ def loss_separate(
     a2 = _angle_losses(end_points["pred_pc2angle_logits"], pc2_angles, spec)
     s2_a = 0.5 * (a1[0] + a2[0])
 
+    scale = np.pi / spec.num_bins
+    pc1_pred = logits_to_angle(
+        end_points["pred_pc1angle_logits"], spec.num_bins, residual_scale=scale
+    )
+    pc2_pred = logits_to_angle(
+        end_points["pred_pc2angle_logits"], spec.num_bins, residual_scale=scale
+    )
+
     if spec.composite_translation:
         # Framework addition (flag-controlled, off = reference semantics).
         # At eval the predicted translation is interpreted as acting about
@@ -158,8 +171,27 @@ def loss_separate(
         # quantity the metric scores. Rz uses the GT relative angle (the
         # angle branch is near-exact at convergence and this keeps the
         # term differentiable).
+        rebase_angle = rel_angles
+        if spec.flip_aware_composite:
+            # accept_inverted_angle training leaves ~half the predictions at
+            # theta+pi; the eval rebase then happens at the FLIPPED angle, so
+            # a compensation trained at theta is wrong by (Rz(a+pi)-Rz(a)) s
+            # = -2 Rz(a) s_xy — exactly the error floor docs/RESULTS.md
+            # attributes to s2-center identifiability. Detect, per sample,
+            # which hypothesis the network is actually committing to (its
+            # decoded total angle vs the GT) and rebase the training target
+            # at THAT angle. Non-differentiable indicator (argmax decode +
+            # stop_gradient) — it only routes the loss.
+            remaining_pred = logits_to_angle(
+                end_points["pred_remaining_angle_logits"], spec.num_bins,
+                residual_scale=scale,
+            )
+            pred_total = (pc2_pred - pc1_pred) + remaining_pred
+            diff = jnp.mod(pred_total - rel_angles + np.pi, 2.0 * np.pi) - np.pi
+            flip = jax.lax.stop_gradient(jnp.abs(diff) > (np.pi / 2.0))
+            rebase_angle = rel_angles + np.pi * flip.astype(rel_angles.dtype)
         s = pc1_centers - end_points["pred_s2_pc1centers"]
-        ca, sa = jnp.cos(rel_angles), jnp.sin(rel_angles)
+        ca, sa = jnp.cos(rebase_angle), jnp.sin(rebase_angle)
         rot_s = jnp.stack(
             [ca * s[:, 0] - sa * s[:, 1],
              sa * s[:, 0] + ca * s[:, 1],
@@ -171,13 +203,6 @@ def loss_separate(
     else:
         s3_t = huber(end_points["pred_translations"] - translations, 2.0)
 
-    scale = np.pi / spec.num_bins
-    pc1_pred = logits_to_angle(
-        end_points["pred_pc1angle_logits"], spec.num_bins, residual_scale=scale
-    )
-    pc2_pred = logits_to_angle(
-        end_points["pred_pc2angle_logits"], spec.num_bins, residual_scale=scale
-    )
     remaining_target = (pc2_angles - pc1_angles) - (pc2_pred - pc1_pred)
     a3 = _angle_losses(
         end_points["pred_remaining_angle_logits"], remaining_target, spec

@@ -53,6 +53,7 @@ from alignnet3d_tpu.models.alignnet import AlignNet, ModelSpec
 from alignnet3d_tpu.models.losses import LossSpec, get_loss
 from alignnet3d_tpu.ops.angle_codec import class_logits_to_angle_np
 from alignnet3d_tpu.parallel import mesh as meshlib
+from alignnet3d_tpu.parallel import multihost
 from alignnet3d_tpu.training import schedules
 
 logger = logging.getLogger("alignnet3d_tpu")
@@ -100,6 +101,9 @@ class _TqdmLoggingHandler(logging.StreamHandler):
             self.handleError(record)
 
 
+_PROGRESS_DEVNULL = None
+
+
 def progress(iterable=None, desc: str = "", total=None):
     """tqdm wrapper that logs its final repr when the bar closes
     (reference train.py:114-126's tqdm subclass) so throughput stats
@@ -113,7 +117,15 @@ def progress(iterable=None, desc: str = "", total=None):
 
     from tqdm import tqdm
 
-    devnull = None if sys.stderr.isatty() else open(os.devnull, "w")
+    # one process-lifetime devnull handle: a per-call open leaked its fd
+    # whenever iteration raised before close() (e.g. the NaN guard aborting
+    # an epoch) — ADVICE r2. Never closed; it is a single fd.
+    global _PROGRESS_DEVNULL
+    devnull = None
+    if not sys.stderr.isatty():
+        if _PROGRESS_DEVNULL is None or _PROGRESS_DEVNULL.closed:
+            _PROGRESS_DEVNULL = open(os.devnull, "w")
+        devnull = _PROGRESS_DEVNULL
 
     class _LoggingTqdm(tqdm):
         def close(self):
@@ -122,8 +134,6 @@ def progress(iterable=None, desc: str = "", total=None):
                 if self.total:
                     logger.debug("progress %s", str(self))
             super().close()
-            if devnull is not None and not devnull.closed:
-                devnull.close()
 
     kwargs = {}
     if devnull is not None:
@@ -193,19 +203,35 @@ class Trainer:
         self.num_batches_per_epoch = len(self.train_indices) // self.batch_size
         self.dataset = provider.PackedDataset(cfg.data.basepath)
 
+        # pod-scale: if jax.distributed was initialized (parallel/multihost),
+        # this process owns 1/num_processes of every batch; the mesh below
+        # spans ALL hosts' devices (jax.devices() is global after init)
+        self.num_processes = jax.process_count()
+        self.process_index = jax.process_index()
+        self.is_main_process = self.process_index == 0
+        if self.num_processes > 1:
+            assert self.batch_size % self.num_processes == 0, (
+                f"batch_size {self.batch_size} must divide over "
+                f"{self.num_processes} processes"
+            )
+        self.local_batch_size = self.batch_size // self.num_processes
+
         mesh_cfg = cfg.tpu.mesh if cfg.has("tpu") else None
         dp = mesh_cfg.dp if mesh_cfg else -1
         mp = mesh_cfg.mp if mesh_cfg else 1
         if dp == -1:
-            import jax as _jax
-
-            dp = max(1, len(_jax.devices()) // max(1, mp))
+            dp = max(1, len(jax.devices()) // max(1, mp))
         # dp must divide the batch size: largest divisor <= dp
         while dp > 1 and self.batch_size % dp != 0:
             dp -= 1
         self.mesh = meshlib.make_mesh(dp=dp, mp=mp)
         if self.use_mesh is None:
             self.use_mesh = self.mesh.devices.size > 1
+        if self.num_processes > 1:
+            assert self.use_mesh, "multi-process training requires the mesh"
+            assert dp % self.num_processes == 0, (
+                f"dp={dp} must distribute over {self.num_processes} processes"
+            )
 
         self.tx = self._make_optimizer()
         self._jit_cache: dict = {}
@@ -236,12 +262,23 @@ class Trainer:
             pcs, pcs, train=False,
         )
         params = variables["params"]
-        return TrainState(
+        state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=variables["batch_stats"],
             opt_state=self.tx.init(params),
         )
+        return self._place_state(state)
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Multi-process: host-local state must be explicitly placed onto
+        the global mesh shardings before jit can consume it (single-process
+        jit reshards addressable inputs automatically)."""
+        if self.num_processes > 1:
+            state = jax.device_put(
+                state, meshlib.state_shardings(state, self.mesh)
+            )
+        return state
 
     # ------------------------------------------------------------ jitted fns
 
@@ -341,8 +378,12 @@ class Trainer:
         return os.path.join(self.logdir, f"{name}.msgpack")
 
     def save_checkpoint(self, state: TrainState, name: str):
-        state = jax.device_get(state)
+        # allgather is a collective: every process participates, only
+        # process 0 touches the filesystem
+        state = multihost.fully_replicate(state)
         path = self._ckpt_path(name)
+        if not self.is_main_process:
+            return path
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as f:
             f.write(flax.serialization.to_bytes(state))
@@ -351,17 +392,31 @@ class Trainer:
 
     def restore_checkpoint(self, state: TrainState, path: str,
                            except_step: bool = False) -> TrainState:
+        template = multihost.fully_replicate(state)
         with open(path, "rb") as f:
-            restored = flax.serialization.from_bytes(jax.device_get(state), f.read())
+            restored = flax.serialization.from_bytes(template, f.read())
         if except_step:
-            restored = restored.replace(step=jax.device_get(state).step)
+            restored = restored.replace(step=template.step)
+        if self.num_processes > 1:
+            return self._place_state(restored)
         return jax.device_put(restored)
 
     # ------------------------------------------------------------- epochs
 
-    def _make_batch(self, indices):
+    def _make_batch(self, indices, rng: np.random.Generator | None = None):
         return self.dataset.sample_batch(
-            indices, self.spec.num_points, self._data_rng
+            indices, self.spec.num_points,
+            self._data_rng if rng is None else rng,
+        )
+
+    def _epoch_rng(self, *tags) -> np.random.Generator:
+        """Fresh child generator per epoch: (a) the prefetch worker thread
+        owns it exclusively, so an aborted epoch (NaN guard) can't leave a
+        shared generator mid-stream (VERDICT r2 weak #6); (b) every process
+        derives the same stream from (seed, tags), so multi-host shuffles
+        agree without communication."""
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed] + [int(t) for t in tags])
         )
 
     def _next_rng(self):
@@ -380,9 +435,17 @@ class Trainer:
           disk for recovery).
         """
         train_fn = self._get_jitted("train")
+        epoch_rng = self._epoch_rng(1, epoch)
         idxs = np.asarray(self.train_indices).copy()
-        self._data_rng.shuffle(idxs)
+        epoch_rng.shuffle(idxs)
         num_batches = len(idxs) // self.batch_size
+        if self.num_processes > 1:
+            # per-process shard of the (identically shuffled) epoch order;
+            # each process assembles only its own rows of each global batch
+            idxs = np.asarray(provider.PackedDataset.shard_indices(
+                idxs, self.process_index, self.num_processes
+            ))
+        step_bs = self.local_batch_size
         prefetch = self.cfg.tpu.prefetch_batches if self.cfg.has("tpu") else 2
 
         profile_cfg = (
@@ -394,9 +457,14 @@ class Trainer:
         )
 
         def make(i):
-            return self._make_batch(
-                idxs[i * self.batch_size:(i + 1) * self.batch_size]
+            batch = self._make_batch(
+                idxs[i * step_bs:(i + 1) * step_bs], rng=epoch_rng
             )
+            if self.num_processes > 1:
+                batch = multihost.global_batch(
+                    self.mesh, batch, self.batch_size
+                )
+            return batch
 
         step_metrics = []  # dicts of device scalars — no per-step host sync
         profiling = False
@@ -434,7 +502,8 @@ class Trainer:
             # summaries (train.py:368, tp8.py:336-353)
             final_step = int(jax.device_get(state.step))
             base = final_step - num_batches
-            writer.write_rows(range(base + 1, final_step + 1), stacked)
+            if self.is_main_process:
+                writer.write_rows(range(base + 1, final_step + 1), stacked)
             logger.info(
                 "train mean loss: %f" % (float(loss_vals.sum()) / num_batches)
             )
@@ -461,12 +530,21 @@ class Trainer:
         num_batches = int(np.ceil(n_val / batch_size))
         num_full_batches = n_val // batch_size
 
+        if self.num_processes > 1:
+            assert batch_size % self.num_processes == 0, (
+                f"eval batch size {batch_size} must divide over "
+                f"{self.num_processes} processes"
+            )
+        local_bs = batch_size // self.num_processes
+        lo = self.process_index * local_bs
+        eval_rng = self._epoch_rng(2, 0 if epoch == "pretr" else epoch)
+
         eval_dir = f"{self.logdir}/val/eval{str(epoch).zfill(6)}"
         base_eval_dir = eval_dir
         if refine_icp:
             suffix = f"_{icp_its}" if icp_its != 30 else ""
             eval_dir = f"{eval_dir}/refined_p2p{suffix}"
-        if os.path.isdir(eval_dir):
+        if self.is_main_process and os.path.isdir(eval_dir):
             # reference uses int(time.time()) alone (train.py:405); sub-second
             # re-evals (e.g. timings mode) need a uniquifier
             backup = f"{eval_dir}_backup_{int(time.time())}"
@@ -475,7 +553,8 @@ class Trainer:
                 k += 1
                 backup = f"{eval_dir}_backup_{int(time.time())}_{k}"
             os.rename(eval_dir, backup)
-        os.makedirs(eval_dir, exist_ok=True)
+        if self.is_main_process:
+            os.makedirs(eval_dir, exist_ok=True)
 
         P = {
             k: np.empty((n_val, d), dtype=np.float32)
@@ -526,10 +605,22 @@ class Trainer:
             # pad to full batch to keep shapes static (reference feeds a
             # stale tail instead, train.py:432-451)
             padded = take + [val_idxs[0]] * (batch_size - actual)
-            batch = self._make_batch(padded)
+            # every process assembles the FULL host batch (labels + clouds
+            # for host-side decode are needed everywhere); the device call
+            # gets only this process's rows, assembled into the global
+            # dp-sharded batch
+            batch = self._make_batch(padded, rng=eval_rng)
+            if self.num_processes > 1:
+                dev_batch = multihost.global_batch(
+                    self.mesh,
+                    tuple(a[lo:lo + local_bs] for a in batch),
+                    batch_size,
+                )
+            else:
+                dev_batch = batch
             if not use_old_results:
                 t0 = time.time()
-                loss_val, out = eval_fn(state, batch)
+                loss_val, out = eval_fn(state, dev_batch)
                 out = jax.device_get(out)
                 loss_val = float(loss_val)
                 cumulated_times += time.time() - t0
@@ -610,6 +701,10 @@ class Trainer:
         mean_loss = loss_sum / num_full_batches if num_full_batches else 0.0
         mean_time = cumulated_times / float(n_val)
 
+        if not self.is_main_process:
+            # artifacts, metrics files and scalar rows are process-0-only;
+            # the collective (jitted eval) work above already happened
+            return mean_loss
         if do_timings:
             print(f"Timing bs={batch_size}: {mean_time}")
         elif cfg.evaluation.has("special") and cfg.evaluation.special.mode == "held":
@@ -675,19 +770,25 @@ class Trainer:
               override_batch_size=None, eval_only_model_to_load=None):
         """Main entry (reference train.py:187-332)."""
         cfg = self.cfg
-        setup_logging(self.logdir)
+        setup_logging(
+            self.logdir if self.is_main_process
+            else f"{self.logdir}/proc{self.process_index}"
+        )
         # verbatim copy of the effective config into the logdir
-        # (reference train.py:46-50)
-        from alignnet3d_tpu.config import save_config
+        # (reference train.py:46-50); process 0 only
+        if self.is_main_process:
+            from alignnet3d_tpu.config import save_config
 
-        configcopy = f"{self.logdir}/config.json"
-        if os.path.exists(configcopy):
-            datestr = datetime.datetime.today().strftime("%Y-%m-%d_%H-%M-%S")
-            configcopy = f"{configcopy[:-5]}_{datestr}.json"
-        try:
-            save_config(configcopy)
-        except Exception:
-            pass
+            configcopy = f"{self.logdir}/config.json"
+            if os.path.exists(configcopy):
+                datestr = datetime.datetime.today().strftime(
+                    "%Y-%m-%d_%H-%M-%S"
+                )
+                configcopy = f"{configcopy[:-5]}_{datestr}.json"
+            try:
+                save_config(configcopy)
+            except Exception:
+                pass
 
         train_writer = ScalarWriter(f"{self.logdir}/train/scalars.jsonl")
         val_writer = ScalarWriter(f"{self.logdir}/val/scalars.jsonl")

@@ -38,7 +38,11 @@ def main(argv=None):
     use_mesh = "--mesh" in argv
     force_devices = 0
     if "--devices" in argv:
-        force_devices = int(argv[argv.index("--devices") + 1])
+        pos = argv.index("--devices")
+        if pos + 1 >= len(argv) or not argv[pos + 1].isdigit():
+            print("usage: bench.py [--mesh] [--devices N]", file=sys.stderr)
+            return 2
+        force_devices = int(argv[pos + 1])
         use_mesh = True
     if force_devices:
         from alignnet3d_tpu.utils import force_cpu

@@ -63,6 +63,25 @@ def test_align_contract(trained, rng):
     np.testing.assert_allclose(M, out["transforms"][0], atol=1e-6)
 
 
+def test_align_empty_trailing_cloud(trained, rng):
+    """An EMPTY cloud at the end of a mixed batch must zero-fill, not crash:
+    its gather offset equals len(flat) (ADVICE r2 high finding). Also cover
+    empty-first and all-empty batches."""
+    from alignnet3d_tpu.api import Aligner
+
+    config_path, ckpt, base = trained
+    aligner = Aligner.from_checkpoint(config_path, ckpt, batch_size=4)
+    full = rng.normal(size=(5, 3)).astype(np.float32) + [6, 2, 0]
+    empty = np.zeros((0, 3), np.float32)
+    for pcs in ([full, empty], [empty, full], [empty, empty]):
+        out = aligner.align(pcs, [full] * len(pcs))
+        assert np.all(np.isfinite(out["transforms"]))
+    # internal contract: empty rows come back zeroed
+    res = aligner._resample([full, empty])
+    assert res.shape[0] == 2
+    np.testing.assert_array_equal(res[1], 0.0)
+
+
 def test_align_refined_improves_or_matches(trained, rng):
     """For identical structured clouds, ICP refinement from the (barely
     trained) network init must not make alignment worse, and with a

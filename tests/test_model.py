@@ -276,6 +276,136 @@ def test_composite_translation_loss_matches_metric_rebase():
     assert float(aux_plain["losses_stages/stage3_transl_loss"]) > 1e-3
 
 
+def test_flip_aware_composite_rebases_at_the_predicted_flip():
+    """A network committing to theta+pi (the accept_inverted_angle regime)
+    with a translation that is metric-exact AT theta+pi: flip_aware_composite
+    scores it ~0; the plain composite loss (rebase at GT theta) penalizes
+    it by ~|2 s_xy| — the exact eval-time error mode docs/RESULTS.md
+    attributes to the 2cm-bucket floor."""
+    from alignnet3d_tpu.geometry import (
+        rotation_matrix_z,
+        translate_transform_to_new_center_of_rotation,
+    )
+    from alignnet3d_tpu.ops.angle_codec import angle2class
+
+    translations, rel_angles, pc1c, pc2c, pc1a, pc2a = _labels()
+    nb = SPEC.num_bins
+    rng = np.random.default_rng(11)
+    pred_centers = pc1c + jnp.asarray(
+        rng.normal(scale=0.2, size=(B, 3)), jnp.float32
+    )
+
+    def perfect_logits(angles):
+        cls, res = angle2class(jnp.asarray(angles).reshape(-1), nb)
+        class_logits = jax.nn.one_hot(cls, nb) * 100.0
+        residuals = jnp.zeros((B, nb)).at[jnp.arange(B), cls].set(
+            res / (np.pi / nb)
+        )
+        return jnp.concatenate([class_logits, residuals], axis=1)
+
+    # decoded total angle = (pc2 - pc1) + remaining = rel + pi  (flipped)
+    pc1_logits = perfect_logits(pc1a)
+    pc2_logits = perfect_logits(pc2a)
+    from alignnet3d_tpu.ops.angle_codec import logits_to_angle
+
+    scale = np.pi / nb
+    pc1_dec = logits_to_angle(pc1_logits, nb, scale)
+    pc2_dec = logits_to_angle(pc2_logits, nb, scale)
+    remaining = rel_angles.reshape(-1) + np.pi - (pc2_dec - pc1_dec)
+    remaining_logits = perfect_logits(remaining)
+
+    # t that is metric-exact when rebased at the FLIPPED angle
+    flipped = np.asarray(rel_angles, np.float64).reshape(-1) + np.pi
+    s = np.asarray(pc1c - pred_centers, np.float64)
+    rot = rotation_matrix_z(flipped)
+    t_consistent = (
+        np.asarray(translations, np.float64)
+        + s - np.einsum("bij,bj->bi", rot, s)
+    )
+    rebased = translate_transform_to_new_center_of_rotation(
+        t_consistent, flipped, np.asarray(pred_centers), np.asarray(pc1c)
+    )
+    np.testing.assert_allclose(rebased, np.asarray(translations), atol=1e-5)
+
+    end_points = {
+        "pred_s1_pc1centers": pc1c,
+        "pred_s1_pc2centers": pc2c,
+        "pred_s2_pc1centers": pred_centers,
+        "pred_s2_pc2centers": pc2c,
+        "pred_pc1angle_logits": pc1_logits,
+        "pred_pc2angle_logits": pc2_logits,
+        "pred_remaining_angle_logits": remaining_logits,
+        "pred_translations": jnp.asarray(t_consistent, jnp.float32),
+    }
+    pcs1, pcs2 = _batch()
+    args = (pcs1, pcs2, translations, rel_angles, pc1c, pc2c, pc1a, pc2a,
+            end_points)
+    base = dict(num_bins=nb, accept_inverted_angle=True,
+                composite_translation=True)
+    _, aux_flip = get_loss(
+        *args, spec=LossSpec(flip_aware_composite=True, **base)
+    )
+    _, aux_plain = get_loss(*args, spec=LossSpec(**base))
+    assert float(aux_flip["losses_stages/stage3_transl_loss"]) < 1e-5
+    assert float(aux_plain["losses_stages/stage3_transl_loss"]) > 1e-2
+
+
+def test_flip_aware_composite_noop_when_unflipped():
+    """When the decoded total angle matches the GT, flip_aware_composite
+    must reduce exactly to composite_translation."""
+    translations, rel_angles, pc1c, pc2c, pc1a, pc2a = _labels()
+    nb = SPEC.num_bins
+    rng = np.random.default_rng(13)
+    from alignnet3d_tpu.ops.angle_codec import angle2class
+
+    def perfect_logits(angles):
+        cls, res = angle2class(jnp.asarray(angles).reshape(-1), nb)
+        class_logits = jax.nn.one_hot(cls, nb) * 100.0
+        residuals = jnp.zeros((B, nb)).at[jnp.arange(B), cls].set(
+            res / (np.pi / nb)
+        )
+        return jnp.concatenate([class_logits, residuals], axis=1)
+
+    from alignnet3d_tpu.ops.angle_codec import logits_to_angle
+
+    pc1_logits = perfect_logits(pc1a)
+    pc2_logits = perfect_logits(pc2a)
+    scale = np.pi / nb
+    dec_diff = (
+        logits_to_angle(pc2_logits, nb, scale)
+        - logits_to_angle(pc1_logits, nb, scale)
+    )
+    remaining_logits = perfect_logits(rel_angles.reshape(-1) - dec_diff)
+    end_points = {
+        "pred_s1_pc1centers": pc1c,
+        "pred_s1_pc2centers": pc2c,
+        "pred_s2_pc1centers": pc1c + jnp.asarray(
+            rng.normal(scale=0.2, size=(B, 3)), jnp.float32
+        ),
+        "pred_s2_pc2centers": pc2c,
+        "pred_pc1angle_logits": pc1_logits,
+        "pred_pc2angle_logits": pc2_logits,
+        "pred_remaining_angle_logits": remaining_logits,
+        "pred_translations": jnp.asarray(
+            rng.normal(size=(B, 3)), jnp.float32
+        ),
+    }
+    pcs1, pcs2 = _batch()
+    args = (pcs1, pcs2, translations, rel_angles, pc1c, pc2c, pc1a, pc2a,
+            end_points)
+    base = dict(num_bins=nb, accept_inverted_angle=True,
+                composite_translation=True)
+    _, aux_flip = get_loss(
+        *args, spec=LossSpec(flip_aware_composite=True, **base)
+    )
+    _, aux_plain = get_loss(*args, spec=LossSpec(**base))
+    np.testing.assert_allclose(
+        float(aux_flip["losses_stages/stage3_transl_loss"]),
+        float(aux_plain["losses_stages/stage3_transl_loss"]),
+        rtol=1e-6,
+    )
+
+
 def test_inverted_angle_modes_differ():
     """mode 'reference_max' keeps the larger of (theta, theta+pi) losses —
     the reference tf.cond quirk (tp8.py:288); 'min' keeps the smaller."""
