@@ -160,13 +160,20 @@ def _feature_correspondences(feat_src, mask_src, feat_dst, mask_dst):
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "ransac_n",
-                                   "with_constraint"))
+                                   "with_constraint", "mutual_filter"))
 def ransac_registration(src, src_mask, dst, dst_mask, src_feat, dst_feat,
                         rng_key, distance_threshold,
                         num_hypotheses: int = 2048, ransac_n: int = 4,
                         with_constraint: bool = True,
-                        edge_length_ratio: float = 0.9):
+                        edge_length_ratio: float = 0.9,
+                        mutual_filter: bool = True):
     """Parallel-hypothesis RANSAC over feature correspondences.
+
+    ``mutual_filter`` keeps only reciprocal feature matches (the same
+    pruning icp/fgr.py:50-66 uses — VERDICT r2 item 4: the RANSAC set
+    previously had no pruning, which undersampled good hypotheses on
+    sparse long-range scans), falling back to the unpruned set when
+    fewer than ``ransac_n`` reciprocal matches survive.
 
     Returns (R (3,3), t (3,), fitness, inlier_rmse) for ONE pair.
     """
@@ -174,6 +181,12 @@ def ransac_registration(src, src_mask, dst, dst_mask, src_feat, dst_feat,
     dst_corr = dst[corr]  # (N, 3)
     corr_valid = src_mask & dst_mask[corr]
     n = src.shape[0]
+    if mutual_filter:
+        bwd = _feature_correspondences(dst_feat, dst_mask, src_feat, src_mask)
+        mutual = bwd[corr] == jnp.arange(n)
+        mutual_valid = corr_valid & mutual
+        enough = jnp.sum(mutual_valid) >= ransac_n
+        corr_valid = jnp.where(enough, mutual_valid, corr_valid)
 
     def hypothesis(key):
         pick = jax.random.choice(key, n, (ransac_n,), replace=False,
@@ -225,12 +238,13 @@ def fpfh_features_batch(points, mask, radius, k: int = 32):
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "ransac_n",
-                                   "with_constraint"))
+                                   "with_constraint", "mutual_filter"))
 def ransac_registration_batch(src, src_mask, dst, dst_mask, src_feat,
                               dst_feat, keys, distance_threshold,
                               num_hypotheses: int = 2048, ransac_n: int = 4,
                               with_constraint: bool = True,
-                              edge_length_ratio: float = 0.9):
+                              edge_length_ratio: float = 0.9,
+                              mutual_filter: bool = True):
     """Vmapped parallel-hypothesis RANSAC over a batch of pairs."""
     return jax.vmap(
         lambda a, am, b, bm, fa, fb, k: ransac_registration(
@@ -238,6 +252,7 @@ def ransac_registration_batch(src, src_mask, dst, dst_mask, src_feat,
             num_hypotheses=num_hypotheses, ransac_n=ransac_n,
             with_constraint=with_constraint,
             edge_length_ratio=edge_length_ratio,
+            mutual_filter=mutual_filter,
         )
     )(src, src_mask, dst, dst_mask, src_feat, dst_feat, keys)
 
@@ -264,7 +279,8 @@ def global_registration_batch(src, src_mask, dst, dst_mask,
                               method: str = "ransac",
                               with_constraint: bool = True,
                               max_points: int = 2048,
-                              num_hypotheses: int = 2048):
+                              num_hypotheses: int = 2048,
+                              mutual_filter: bool = True):
     """Batched FPFH global registration for a chunk of padded pairs.
 
     ``method``: 'ransac' (reference icp_o3_gicp, icp.py:85-105) or 'fgr'
@@ -286,6 +302,7 @@ def global_registration_batch(src, src_mask, dst, dst_mask,
         R, t, fit, rmse = ransac_registration_batch(
             sp_j, sm_j, dp_j, dm_j, sf, df, keys, distance_threshold,
             num_hypotheses=num_hypotheses, with_constraint=with_constraint,
+            mutual_filter=mutual_filter,
         )
     elif method == "fgr":
         from alignnet3d_tpu.icp.fgr import fgr_batch_jit

@@ -140,9 +140,22 @@ def evaluate(cfg, use_old_results: bool = False, pair_chunk: int = 128,
                         icp_cfg.voxel_size
                         if icp_cfg.has("voxel_size") else 0.05
                     )
+                    # framework tuning knobs (VERDICT r2 item 4): RANSAC
+                    # hypothesis count + reciprocal-match pruning
+                    extra = {}
+                    if method == "ransac":
+                        if icp_cfg.has("num_hypotheses"):
+                            extra["num_hypotheses"] = int(
+                                icp_cfg.num_hypotheses
+                            )
+                        if icp_cfg.has("mutual_filter"):
+                            extra["mutual_filter"] = bool(
+                                icp_cfg.mutual_filter
+                            )
                     tf, fit, rmse = global_registration_batch(
                         src, sm, dst, dm, voxel_size=voxel, seed=s,
                         method=method, with_constraint=with_constraint,
+                        **extra,
                     )
             elif variant == "multistart":
                 # framework addition: initialization-free yaw multi-start

@@ -415,9 +415,13 @@ class Trainer:
         shared generator mid-stream (VERDICT r2 weak #6); (b) every process
         derives the same stream from (seed, tags), so multi-host shuffles
         agree without communication."""
-        return np.random.default_rng(
-            np.random.SeedSequence([self.seed] + [int(t) for t in tags])
-        )
+        ints = [self.seed]
+        for t in tags:
+            try:
+                ints.append(int(t))
+            except (TypeError, ValueError):  # string epoch tags ('pretr', ...)
+                ints.extend(str(t).encode("utf8"))
+        return np.random.default_rng(np.random.SeedSequence(ints))
 
     def _next_rng(self):
         self._jit_rng, sub = jax.random.split(self._jit_rng)
@@ -537,7 +541,11 @@ class Trainer:
             )
         local_bs = batch_size // self.num_processes
         lo = self.process_index * local_bs
-        eval_rng = self._epoch_rng(2, 0 if epoch == "pretr" else epoch)
+        # one FIXED eval stream (not epoch-tagged): the same checkpoint
+        # reproduces identical predictions under any eval invocation, and
+        # epoch-to-epoch val curves carry no resampling noise — the
+        # determinism the reference probes for by hand (provider.py:99-100)
+        eval_rng = self._epoch_rng(2)
 
         eval_dir = f"{self.logdir}/val/eval{str(epoch).zfill(6)}"
         base_eval_dir = eval_dir

@@ -1,0 +1,75 @@
+"""RANSAC hypothesis-count x mutual-filter sweep (VERDICT r2 item 4).
+
+The reference's o3_gicp burns 4M sequential RANSAC iterations with
+500-validation early exit (reference icp.py:101); the batched rebuild
+evaluates K parallel hypotheses. Round 2's K=2048 with an unpruned
+correspondence set underperformed its siblings (18.9% <20cm vs FGR's
+28.6%). This sweeps K in {2048..16384} with and without the reciprocal
+(mutual) correspondence filter on a val subset, scoring VAL and TEST
+(idx>=1000) separately so the pick is made on val and reported on the
+holdout.
+
+Usage: python scripts/tune_ransac.py <dataset_basepath> [n_pairs] [voxel]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    basepath = sys.argv[1]
+    n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    voxel = float(sys.argv[3]) if len(sys.argv) > 3 else 0.35
+
+    from alignnet3d_tpu.data import provider
+    from alignnet3d_tpu.geometry import (
+        angle_diff,
+        translate_transform_to_new_center_of_rotation,
+    )
+    from alignnet3d_tpu.icp.fpfh import global_registration_batch
+    from alignnet3d_tpu.icp.p2point import pad_full_clouds
+
+    val = provider.getDataFiles(f"{basepath}/split/val.txt")[:n_pairs]
+    ds = provider.PackedDataset(basepath)
+    rows = ds.rows(val)
+    gt_t = ds.translations[rows].reshape(-1, 3)
+    gt_a = ds.rel_angles[rows].reshape(-1)
+    gt_c = ds.pc1centers[rows].reshape(-1, 3)
+    is_test = np.asarray(val) >= 1000  # Synth split rule (evaluation.py:160)
+    (src, sm), (dst, dm) = pad_full_clouds(ds, val, max_points=4096)
+
+    def score(tf):
+        pa = np.arctan2(tf[:, 1, 0], tf[:, 0, 0])
+        pt = translate_transform_to_new_center_of_rotation(
+            tf[:, :3, 3], pa, np.zeros_like(gt_c), gt_c
+        )
+        terr = np.linalg.norm(pt[:, :2] - gt_t[:, :2], axis=1)
+        aerr = np.abs(np.degrees(angle_diff(pa, gt_a)))
+        aerr = np.minimum(aerr, np.abs(aerr - 180.0))
+        both = (terr < 0.2) & (aerr < 10.0)
+        return (float(np.mean(both[~is_test])), float(np.mean(both[is_test]))
+                if is_test.any() else float("nan"))
+
+    for mutual in (False, True):
+        for k in (2048, 4096, 8192, 16384):
+            t0 = time.time()
+            tf, fit, rmse = global_registration_batch(
+                src, sm, dst, dm, voxel_size=voxel, method="ransac",
+                num_hypotheses=k, mutual_filter=mutual,
+            )
+            dt = time.time() - t0
+            v, t = score(tf)
+            print(
+                f"mutual={int(mutual)} K={k:5d}: both<20cm "
+                f"val {v:.3f} test {t:.3f}  ({dt:.1f}s)",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
