@@ -18,7 +18,7 @@ devices via a 1-D ``jax.sharding.Mesh`` (params replicated, batch axis
 sharded) and adds a ``devices`` field to the JSON line — the one-command
 scaling measurement for whenever >1 chip is attached. ``--devices N``
 forces an N-device virtual CPU mesh (for the scaling-curve sanity
-artifact, docs/SCALING.md).
+artifact, docs/RESULTS.md "Virtual-mesh scaling sanity").
 """
 
 from __future__ import annotations

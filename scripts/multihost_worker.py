@@ -26,9 +26,21 @@ def main():
     p.add_argument("--local_devices", type=int, default=2)
     args = p.parse_args()
 
+    # pin the EXACT device count: an inherited XLA_FLAGS (e.g. the test
+    # suite's 8-device mesh) would otherwise win, because force_cpu only
+    # raises an existing count, never lowers it
+    import re
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count="
+        f"{args.local_devices}"
+    ).strip()
+
     from alignnet3d_tpu.utils import force_cpu
 
-    force_cpu(num_devices=args.local_devices)
+    force_cpu()
 
     from alignnet3d_tpu.parallel import multihost
 

@@ -1,0 +1,121 @@
+"""Test-time augmentation probe: multi-resample prediction averaging.
+
+Each eval forward sees ONE random N-point resample of each cloud; on
+sparse far-range scans that injects resample noise into the predicted
+centers/translations. This probes whether averaging predictions over K
+independent resamples buys accuracy (angles are aggregated as a
+circular mean mod pi after flip-alignment to the first sample's
+hypothesis; translations/centers average linearly).
+
+Usage: python scripts/probe_tta.py <run_config.json> <epoch> [K ...]
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    cfg_path, epoch = sys.argv[1], int(sys.argv[2])
+    ks = [int(a) for a in sys.argv[3:]] or [1, 2, 4, 8]
+
+    import jax
+
+    from alignnet3d_tpu.config import load_config
+    from alignnet3d_tpu.data import provider
+    from alignnet3d_tpu.geometry import (
+        angle_diff,
+        translate_transform_to_new_center_of_rotation,
+    )
+    from alignnet3d_tpu.ops.angle_codec import class_logits_to_angle_np
+    from alignnet3d_tpu.ops.flip_resolve import apply_flip_resolution
+    from alignnet3d_tpu.training.trainer import Trainer
+
+    cfg = load_config(cfg_path)
+    trainer = Trainer(cfg, seed=0, use_mesh=False)
+    state = trainer.init_state()
+    state = trainer.restore_checkpoint(
+        state, os.path.join(trainer.logdir, f"model-{epoch}.msgpack")
+    )
+    eval_fn = trainer._get_jitted("eval")
+
+    val_idxs = list(trainer.val_indices)
+    n = len(val_idxs)
+    bs = trainer.batch_size
+    nb = trainer.spec.num_bins
+    scale = np.pi / nb
+    ds = trainer.dataset
+    rows = ds.rows(val_idxs)
+    gt_t = ds.translations[rows].reshape(-1, 3)
+    gt_a = ds.rel_angles[rows].reshape(-1)
+    gt_c = ds.pc1centers[rows].reshape(-1, 3)
+    pos = np.arange(n)
+    is_test = pos >= 1000
+
+    kmax = max(ks)
+    # per-replica predictions
+    T = np.zeros((kmax, n, 3), np.float32)
+    A = np.zeros((kmax, n), np.float64)
+    C = np.zeros((kmax, n, 3), np.float32)
+    num_batches = int(np.ceil(n / bs))
+    for rep in range(kmax):
+        rng = trainer._epoch_rng(500 + rep)
+        for bi in range(num_batches):
+            s, e = bi * bs, min((bi + 1) * bs, n)
+            take = val_idxs[s:e] + [val_idxs[0]] * (bs - (e - s))
+            batch = trainer._make_batch(take, rng=rng)
+            _, out = eval_fn(state, batch)
+            out = jax.device_get(out)
+            a1 = class_logits_to_angle_np(
+                out["pred_pc1angle_logits"][:e - s], nb, scale)
+            a2 = class_logits_to_angle_np(
+                out["pred_pc2angle_logits"][:e - s], nb, scale)
+            ar = class_logits_to_angle_np(
+                out["pred_remaining_angle_logits"][:e - s], nb, scale)
+            composed = a2 - a1 + ar
+            composed, _ = apply_flip_resolution(
+                batch[0][:e - s], batch[1][:e - s],
+                out["pred_translations"][:e - s], composed,
+                out["pred_s2_pc1centers"][:e - s],
+            )
+            T[rep, s:e] = out["pred_translations"][:e - s]
+            A[rep, s:e] = composed
+            C[rep, s:e] = out["pred_s2_pc1centers"][:e - s]
+        print(f"replica {rep} done", flush=True)
+
+    def score(label, t, a, c):
+        rb = translate_transform_to_new_center_of_rotation(
+            t.reshape(-1, 3), a.reshape(-1), c.reshape(-1, 3), gt_c
+        )
+        terr = np.linalg.norm(rb[:, :2] - gt_t[:, :2], axis=1)
+        aerr = np.abs(np.degrees(angle_diff(a.reshape(-1), gt_a)))
+        aerr = np.minimum(aerr, np.abs(aerr - 180.0))
+        out = []
+        for mask, tag in ((slice(None), "all"), (~is_test, "val"),
+                          (is_test, "test")):
+            lv = [float(np.mean((terr[mask] < l) & (aerr[mask] < d)))
+                  for l, d in ((0.02, 1.0), (0.10, 5.0), (0.20, 10.0))]
+            out.append(f"{tag} " + "/".join(f"{100*x:.1f}" for x in lv))
+        print(f"{label:10s} {'  '.join(out)}", flush=True)
+
+    for k in ks:
+        # align each replica's angle to replica 0's hypothesis (mod pi
+        # branch nearest), then circular-mean; average t and c linearly
+        a0 = A[0]
+        aligned = np.empty((k, n))
+        for r in range(k):
+            d = A[r] - a0
+            d = (d + np.pi / 2) % np.pi - np.pi / 2  # nearest mod-pi branch
+            aligned[r] = a0 + d
+        a_mean = np.arctan2(
+            np.mean(np.sin(aligned), axis=0), np.mean(np.cos(aligned), axis=0)
+        )
+        score(f"K={k}", T[:k].mean(0), a_mean, C[:k].mean(0))
+
+
+if __name__ == "__main__":
+    main()
