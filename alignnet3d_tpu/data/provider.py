@@ -214,10 +214,20 @@ class PackedDataset:
             assert not missing, f"indices missing from dataset: {missing[:10]}"
 
     @staticmethod
-    def _write_cache(meta_file, point_files, arrays):
-        small = {k: v for k, v in arrays.items()
-                 if not k.startswith("points")}
-        np.savez(meta_file, **small)
+    def _savez_atomic(meta_file, small):
+        """Write the meta npz via temp + rename. The meta npz is the cache
+        COMMIT MARKER (written last): a process killed mid-write (the
+        supervisor's timeout loop, OOM kills) must not leave a
+        complete-looking cache that later opens load silently."""
+        tmp = meta_file + ".tmp.npz"
+        np.savez(tmp, **small)
+        os.replace(tmp, meta_file)
+
+    @classmethod
+    def _write_cache(cls, meta_file, point_files, arrays):
+        # points first, meta npz last: open_memmap creates full-size files
+        # immediately, so the meta file's existence is the only reliable
+        # "cache complete" signal the cache-hit check can key on
         for k in (1, 2):
             pts = np.ascontiguousarray(
                 np.asarray(arrays[f"points{k}"], np.float32)
@@ -228,6 +238,9 @@ class PackedDataset:
             out[:] = pts
             out.flush()
             del out
+        small = {k: v for k, v in arrays.items()
+                 if not k.startswith("points")}
+        cls._savez_atomic(meta_file, small)
 
     def _pack_streaming(self, basepath, indices, meta_file, point_files,
                         mmap=True):
@@ -293,13 +306,14 @@ class PackedDataset:
         if not spill:
             small = {k: v for k, v in arrays.items()
                      if not k.startswith("points")}
-            try:
-                np.savez(meta_file, **small)
-            except OSError as e:
-                logger.warning(f"could not cache packed dataset: {e}")
             for k in (1, 2):
                 outs[k].flush()
-                if not mmap:
+            try:
+                self._savez_atomic(meta_file, small)
+            except OSError as e:
+                logger.warning(f"could not cache packed dataset: {e}")
+            if not mmap:
+                for k in (1, 2):
                     arrays[f"points{k}"] = np.asarray(outs[k])
         self._init_from_arrays(arrays)
 

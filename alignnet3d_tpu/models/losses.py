@@ -70,6 +70,15 @@ class LossSpec:
             ),
         )
 
+    def __post_init__(self):
+        # flip_aware rebases the COMPOSITE stage-3 target; without
+        # composite_translation it would be silently ignored and an
+        # experiment would run without the feature it meant to test
+        if self.flip_aware_composite and not self.composite_translation:
+            raise ValueError(
+                "flip_aware_composite requires composite_translation=true"
+            )
+
 
 def huber(error: jax.Array, delta: float) -> jax.Array:
     """Mean huber loss (reference huber_loss, tp8.py:173-178)."""

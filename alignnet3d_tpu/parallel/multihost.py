@@ -120,3 +120,35 @@ def fully_replicate(tree):
         return np.asarray(jax.device_get(x))
 
     return jax.tree.map(leaf, tree)
+
+
+def main_isfile(path: str) -> bool:
+    """Process 0's view of ``os.path.isfile``, broadcast to every process.
+
+    On real pods there is no shared filesystem: per-process ``isfile``
+    checks can diverge (process 0 has the checkpoint, others don't),
+    and a diverging resume decision deadlocks in the restore collective.
+    All resume/pretraining decisions go through process 0."""
+    if process_count() <= 1:
+        return os.path.isfile(path)
+    from jax.experimental import multihost_utils
+
+    flag = np.int32(os.path.isfile(path) if is_main() else 0)
+    return bool(multihost_utils.broadcast_one_to_all(flag))
+
+
+def broadcast_tree(tree, template):
+    """Broadcast a host-numpy pytree from process 0 to all processes.
+
+    ``tree`` is process 0's payload (ignored elsewhere); ``template`` is
+    a same-structure/shape/dtype pytree every process can build locally
+    (e.g. ``fully_replicate(init_state())``). Used so only process 0
+    needs checkpoint bytes on disk."""
+    if process_count() <= 1:
+        return tree
+    import jax
+    from jax.experimental import multihost_utils
+
+    src = tree if is_main() else template
+    src = jax.tree.map(np.asarray, src)
+    return multihost_utils.broadcast_one_to_all(src)

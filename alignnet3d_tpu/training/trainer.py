@@ -392,9 +392,17 @@ class Trainer:
 
     def restore_checkpoint(self, state: TrainState, path: str,
                            except_step: bool = False) -> TrainState:
+        # collective: every process participates. Only process 0 needs the
+        # checkpoint bytes on disk (no shared-FS assumption on real pods);
+        # the restored host tree is broadcast from process 0.
         template = multihost.fully_replicate(state)
-        with open(path, "rb") as f:
-            restored = flax.serialization.from_bytes(template, f.read())
+        if self.num_processes <= 1 or self.is_main_process:
+            with open(path, "rb") as f:
+                restored = flax.serialization.from_bytes(template, f.read())
+        else:
+            restored = template
+        if self.num_processes > 1:
+            restored = multihost.broadcast_tree(restored, template)
         if except_step:
             restored = restored.replace(step=template.step)
         if self.num_processes > 1:
@@ -527,7 +535,22 @@ class Trainer:
         else:
             key = f"eval_bs{override_batch_size}"
             if key not in self._jit_cache:
-                self._jit_cache[key] = jax.jit(self._eval_step_fn)
+                if self.use_mesh:
+                    # mirror the main eval jit's shardings: without
+                    # replicated out_shardings the output follows the
+                    # dp-sharded input and device_get on it raises under
+                    # multi-process (non-addressable shards)
+                    self._get_jitted("eval")  # populate state_shardings
+                    st_shard = self._jit_cache["state_shardings"]
+                    b_shard = meshlib.batch_sharding(self.mesh)
+                    rep = meshlib.replicated(self.mesh)
+                    self._jit_cache[key] = jax.jit(
+                        self._eval_step_fn,
+                        in_shardings=(st_shard, (b_shard,) * 8),
+                        out_shardings=(rep, rep),
+                    )
+                else:
+                    self._jit_cache[key] = jax.jit(self._eval_step_fn)
             eval_fn = self._jit_cache[key]
         val_idxs = list(self.val_indices)
         n_val = len(val_idxs)
@@ -601,6 +624,9 @@ class Trainer:
         do_resolve_flips = (
             cfg.evaluation.has("resolve_flips")
             and cfg.evaluation.resolve_flips
+            # host-side prediction post-processing feeds process-0-only
+            # artifacts; skip the redundant compute on other processes
+            and self.is_main_process
         )
         loss_sum, cumulated_times = 0.0, 0.0
         for batch_idx in progress(range(num_batches),
@@ -672,6 +698,12 @@ class Trainer:
             G["gt_angles"][start:end] = batch[3][:actual]
             G["gt_pc1centers"][start:end] = batch[4][:actual]
 
+        if not self.is_main_process:
+            # artifacts, metrics files, ICP refinement and scalar rows are
+            # process-0-only; the collective (jitted eval) work above
+            # already happened on every process
+            return loss_sum / num_full_batches if num_full_batches else 0.0
+
         if refine_icp:
             from alignnet3d_tpu.icp import refine_predictions
 
@@ -709,10 +741,6 @@ class Trainer:
         mean_loss = loss_sum / num_full_batches if num_full_batches else 0.0
         mean_time = cumulated_times / float(n_val)
 
-        if not self.is_main_process:
-            # artifacts, metrics files and scalar rows are process-0-only;
-            # the collective (jitted eval) work above already happened
-            return mean_loss
         if do_timings:
             print(f"Timing bs={batch_size}: {mean_time}")
         elif cfg.evaluation.has("special") and cfg.evaluation.special.mode == "held":
@@ -809,7 +837,7 @@ class Trainer:
             model_dir = eval_only_model_to_load or self.logdir
             if not use_old_results and not do_timings:
                 path = os.path.join(model_dir, f"model-{eval_epoch}.msgpack")
-                assert os.path.isfile(path), path
+                assert multihost.main_isfile(path), path
                 state = self.restore_checkpoint(state, path)
                 restored = int(jax.device_get(state.step))
                 if eval_only_model_to_load is None and self.num_batches_per_epoch:
@@ -821,7 +849,7 @@ class Trainer:
             logger.info(f"Evaluating at epoch {start_epoch}")
         else:
             rolling = self._ckpt_path("model.ckpt")
-            if os.path.isfile(rolling):
+            if multihost.main_isfile(rolling):
                 state = self.restore_checkpoint(state, rolling)
                 restored = int(jax.device_get(state.step))
                 assert restored % self.num_batches_per_epoch == 0
@@ -831,7 +859,7 @@ class Trainer:
                 pre = cfg.training.pretraining.model
                 if not pre.endswith(".msgpack"):
                     pre = pre + ".msgpack"
-                assert os.path.isfile(pre), pre
+                assert multihost.main_isfile(pre), pre
                 state = self.restore_checkpoint(state, pre, except_step=True)
                 assert int(jax.device_get(state.step)) == 0
                 logger.info(

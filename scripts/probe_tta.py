@@ -27,10 +27,6 @@ def main():
 
     from alignnet3d_tpu.config import load_config
     from alignnet3d_tpu.data import provider
-    from alignnet3d_tpu.geometry import (
-        angle_diff,
-        translate_transform_to_new_center_of_rotation,
-    )
     from alignnet3d_tpu.ops.angle_codec import class_logits_to_angle_np
     from alignnet3d_tpu.ops.flip_resolve import apply_flip_resolution
     from alignnet3d_tpu.training.trainer import Trainer
@@ -87,20 +83,12 @@ def main():
             C[rep, s:e] = out["pred_s2_pc1centers"][:e - s]
         print(f"replica {rep} done", flush=True)
 
+    from alignnet3d_tpu.evaluation.quickscore import format_table, success_table
+
     def score(label, t, a, c):
-        rb = translate_transform_to_new_center_of_rotation(
-            t.reshape(-1, 3), a.reshape(-1), c.reshape(-1, 3), gt_c
-        )
-        terr = np.linalg.norm(rb[:, :2] - gt_t[:, :2], axis=1)
-        aerr = np.abs(np.degrees(angle_diff(a.reshape(-1), gt_a)))
-        aerr = np.minimum(aerr, np.abs(aerr - 180.0))
-        out = []
-        for mask, tag in ((slice(None), "all"), (~is_test, "val"),
-                          (is_test, "test")):
-            lv = [float(np.mean((terr[mask] < l) & (aerr[mask] < d)))
-                  for l, d in ((0.02, 1.0), (0.10, 5.0), (0.20, 10.0))]
-            out.append(f"{tag} " + "/".join(f"{100*x:.1f}" for x in lv))
-        print(f"{label:10s} {'  '.join(out)}", flush=True)
+        tab = success_table(t, a, c, gt_t, gt_a, gt_c, is_test)
+        print(f"{label:10s} {format_table(tab, ('all', 'val', 'test'))}",
+              flush=True)
 
     for k in ks:
         # align each replica's angle to replica 0's hypothesis (mod pi

@@ -27,9 +27,10 @@ def main():
     voxel = float(sys.argv[3]) if len(sys.argv) > 3 else 0.35
 
     from alignnet3d_tpu.data import provider
-    from alignnet3d_tpu.geometry import (
-        angle_diff,
-        translate_transform_to_new_center_of_rotation,
+    from alignnet3d_tpu.evaluation.quickscore import (
+        format_table,
+        positional_is_test,
+        success_table,
     )
     from alignnet3d_tpu.icp.fpfh import global_registration_batch
     from alignnet3d_tpu.icp.p2point import pad_full_clouds
@@ -40,20 +41,9 @@ def main():
     gt_t = ds.translations[rows].reshape(-1, 3)
     gt_a = ds.rel_angles[rows].reshape(-1)
     gt_c = ds.pc1centers[rows].reshape(-1, 3)
-    is_test = np.asarray(val) >= 1000  # Synth split rule (evaluation.py:160)
+    # POSITIONAL val/test rule (metrics._is_test), not the file index
+    is_test = positional_is_test(len(val))
     (src, sm), (dst, dm) = pad_full_clouds(ds, val, max_points=4096)
-
-    def score(tf):
-        pa = np.arctan2(tf[:, 1, 0], tf[:, 0, 0])
-        pt = translate_transform_to_new_center_of_rotation(
-            tf[:, :3, 3], pa, np.zeros_like(gt_c), gt_c
-        )
-        terr = np.linalg.norm(pt[:, :2] - gt_t[:, :2], axis=1)
-        aerr = np.abs(np.degrees(angle_diff(pa, gt_a)))
-        aerr = np.minimum(aerr, np.abs(aerr - 180.0))
-        both = (terr < 0.2) & (aerr < 10.0)
-        return (float(np.mean(both[~is_test])), float(np.mean(both[is_test]))
-                if is_test.any() else float("nan"))
 
     for mutual in (False, True):
         for k in (2048, 4096, 8192, 16384):
@@ -63,10 +53,12 @@ def main():
                 num_hypotheses=k, mutual_filter=mutual,
             )
             dt = time.time() - t0
-            v, t = score(tf)
+            pa = np.arctan2(tf[:, 1, 0], tf[:, 0, 0])
+            tab = success_table(tf[:, :3, 3], pa, np.zeros_like(gt_c),
+                                gt_t, gt_a, gt_c, is_test)
             print(
-                f"mutual={int(mutual)} K={k:5d}: both<20cm "
-                f"val {v:.3f} test {t:.3f}  ({dt:.1f}s)",
+                f"mutual={int(mutual)} K={k:5d}: {format_table(tab)}"
+                f"  ({dt:.1f}s)",
                 flush=True,
             )
 

@@ -24,10 +24,6 @@ def main():
     cfg_path, epoch = sys.argv[1], int(sys.argv[2])
     from alignnet3d_tpu.config import load_config
     from alignnet3d_tpu.data import provider
-    from alignnet3d_tpu.geometry import (
-        angle_diff,
-        translate_transform_to_new_center_of_rotation,
-    )
     from alignnet3d_tpu.icp.p2point import refine_predictions
 
     cfg = load_config(cfg_path)
@@ -43,22 +39,11 @@ def main():
     gt_t = ds.translations[rows].reshape(-1, 3)
     gt_a = ds.rel_angles[rows].reshape(-1)
     gt_c = ds.pc1centers[rows].reshape(-1, 3)
-    pos = np.arange(len(val_idxs))
-    is_test = pos >= 1000  # metrics.py _is_test positional rule
+    from alignnet3d_tpu.evaluation.quickscore import format_table, success_table
 
     def score(label, t, a, c, secs):
-        rb = translate_transform_to_new_center_of_rotation(
-            t.reshape(-1, 3), a.reshape(-1), c.reshape(-1, 3), gt_c
-        )
-        terr = np.linalg.norm(rb[:, :2] - gt_t[:, :2], axis=1)
-        aerr = np.abs(np.degrees(angle_diff(a.reshape(-1), gt_a)))
-        aerr = np.minimum(aerr, np.abs(aerr - 180.0))
-        out = []
-        for mask, tag in ((~is_test, "val"), (is_test, "test")):
-            lv = [float(np.mean((terr[mask] < l) & (aerr[mask] < d)))
-                  for l, d in ((0.02, 1.0), (0.10, 5.0), (0.20, 10.0))]
-            out.append(f"{tag} " + "/".join(f"{100*x:.1f}" for x in lv))
-        print(f"{label:28s} {'  '.join(out)}  "
+        tab = success_table(t, a, c, gt_t, gt_a, gt_c)
+        print(f"{label:28s} {format_table(tab)}  "
               f"({1e3*secs/len(val_idxs):.0f} ms/pair)", flush=True)
 
     score("network init", pred_t, pred_a, pred_c, 0.0)

@@ -425,3 +425,12 @@ def test_inverted_angle_modes_differ():
     l180 = _angle_loss(logits, angles + np.pi, base)[0]
     assert float(ref[0]) == pytest.approx(float(jnp.maximum(l0, l180)), abs=1e-6)
     assert float(fixed[0]) == pytest.approx(float(jnp.minimum(l0, l180)), abs=1e-6)
+
+
+def test_flip_aware_requires_composite():
+    # flip_aware_composite without composite_translation would silently
+    # train the plain loss; the spec rejects the misconfiguration
+    import pytest
+
+    with pytest.raises(ValueError, match="composite_translation"):
+        LossSpec(flip_aware_composite=True, composite_translation=False)

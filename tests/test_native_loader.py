@@ -83,3 +83,32 @@ def test_packed_dataset_native_and_numpy_labels_agree(lib, tmp_path, rng):
     for a, b in zip(nat[2:], npy[2:]):  # labels identical
         np.testing.assert_allclose(a, b)
     assert nat[0].shape == npy[0].shape
+
+
+def test_packed_cache_meta_is_commit_marker(tmp_path, rng):
+    """The meta npz is written LAST (atomic rename): a cache dir holding
+    full-size point payloads but no meta npz (an interrupted pack/upgrade)
+    must repack instead of silently loading stale/zero data."""
+    import os
+
+    from alignnet3d_tpu.data.provider import PACK_VERSION, PackedDataset
+    from alignnet3d_tpu.data.synthetic import generate_dataset
+
+    base = str(tmp_path / "ds")
+    generate_dataset(base, num_train=4, num_val=2, seed=7, vres=12, hres=90)
+    ds = PackedDataset(base)
+    want = np.array(ds.points1[:8])
+    meta_file = os.path.join(base, f"packed_v{PACK_VERSION}.npz")
+    assert os.path.isfile(meta_file)
+    # no tmp file left behind by the atomic write
+    assert not os.path.isfile(meta_file + ".tmp.npz")
+    # simulate an interrupted pack: meta gone, point payloads zeroed
+    os.remove(meta_file)
+    pts = os.path.join(base, f"packed_v{PACK_VERSION}_points1.npy")
+    z = np.lib.format.open_memmap(pts, mode="r+")
+    z[:] = 0.0
+    z.flush()
+    del z
+    ds2 = PackedDataset(base)  # must repack, not trust the orphan payloads
+    np.testing.assert_allclose(np.array(ds2.points1[:8]), want)
+    assert os.path.isfile(meta_file)
