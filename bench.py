@@ -23,7 +23,10 @@ artifact, docs/RESULTS.md "Virtual-mesh scaling sanity").
 
 from __future__ import annotations
 
+import glob
 import json
+import os
+import signal
 import sys
 import time
 
@@ -31,6 +34,72 @@ import numpy as np
 
 N_ITERS = 50
 BATCH = 1024
+
+
+def _stop_training_chains():
+    """Serialize with any live training chain before touching the TPU.
+
+    Two clients dispatching concurrently wedge the tunnel server
+    (CLAUDE.md gotchas), and the driver runs this benchmark unattended
+    at round end — possibly while a nohup'd training supervisor is
+    mid-epoch. Long-lived TPU jobs register their root pid in
+    ``/tmp/tpu-chain-*.pid`` (scripts/train_supervised.sh,
+    scripts/round3_chain.sh); this stops each registered root plus all
+    its descendants (ppid tree walk over /proc — deliberately no
+    command-line pattern matching) and gives the tunnel time to drain.
+    """
+    roots = []
+    for pidfile in sorted(glob.glob("/tmp/tpu-chain-*.pid")):
+        try:
+            pid = int(open(pidfile).read().strip())
+            os.kill(pid, 0)
+        except (OSError, ValueError):
+            try:
+                os.remove(pidfile)
+            except OSError:
+                pass
+            continue
+        roots.append((pidfile, pid))
+    if not roots:
+        return
+
+    def descendants(root):
+        children = {}
+        for stat in glob.glob("/proc/[0-9]*/stat"):
+            try:
+                fields = open(stat).read().rsplit(")", 1)[1].split()
+                pid = int(stat.split("/")[2])
+                children.setdefault(int(fields[1]), []).append(pid)
+            except (OSError, IndexError, ValueError):
+                continue
+        out, stack = [], [root]
+        while stack:
+            for child in children.get(stack.pop(), []):
+                out.append(child)
+                stack.append(child)
+        return out
+
+    for sig, grace in ((signal.SIGTERM, 10), (signal.SIGKILL, 3)):
+        alive = False
+        for pidfile, pid in roots:
+            # root first so supervisors can't respawn their children
+            for target in [pid] + descendants(pid):
+                try:
+                    os.kill(target, sig)
+                    alive = True
+                except OSError:
+                    continue
+        if not alive:
+            break
+        print(f"[bench] stopped training chains {[p for _, p in roots]} "
+              f"({sig.name})", file=sys.stderr)
+        time.sleep(grace)
+    for pidfile, _ in roots:
+        try:
+            os.remove(pidfile)
+        except OSError:
+            pass
+    time.sleep(20)  # let the tunnel drain before the first dispatch
 
 
 def main(argv=None):
@@ -48,6 +117,8 @@ def main(argv=None):
         from alignnet3d_tpu.utils import force_cpu
 
         force_cpu(force_devices)
+    else:
+        _stop_training_chains()
 
     import jax
     import jax.numpy as jnp

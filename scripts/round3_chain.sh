@@ -13,6 +13,8 @@
 set -u
 SUP_PID="${1:-}"
 cd "$(dirname "$0")/.."
+# register as a stoppable TPU chain root (bench.py serialization guard)
+echo $$ > /tmp/tpu-chain-round3.pid
 
 log() { echo "[chain $(date '+%H:%M:%S')] $*"; }
 

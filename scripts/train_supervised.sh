@@ -13,6 +13,8 @@ set -u
 CONFIG="$1"
 CYCLE="${2:-1800}"
 cd "$(dirname "$0")/.."
+# register as a stoppable TPU chain root (bench.py serialization guard)
+echo $$ > "/tmp/tpu-chain-sup-$(basename "$CONFIG" .json).pid"
 while true; do
     timeout -k 30 "$CYCLE" python train.py train --config "$CONFIG"
     rc=$?
