@@ -720,22 +720,48 @@ class Trainer:
                     gate_kwargs["gate_max_dyaw_deg"] = gate_cfg.max_dyaw_deg
                 if gate_cfg.has("max_dxy"):
                     gate_kwargs["gate_max_dxy"] = gate_cfg.max_dxy
-            # framework addition: correspondence radius override (the
-            # reference hardwires radius=0.1, train.py:469)
-            if (cfg.evaluation.has("refinement")
-                    and cfg.evaluation.refinement.has("radius")):
-                gate_kwargs["radius"] = cfg.evaluation.refinement.radius
-            refined, icp_time = refine_predictions(
-                cfg, val_idxs,
-                P["pred_translations"], P["pred_angles"],
-                P["pred_s2_pc1centers"], its=icp_its, dataset=self.dataset,
-                **gate_kwargs,
-            )
-            P["pred_translations"] = refined["translations"]
-            P["pred_angles"] = refined["angles"]
-            # ICP transforms are world-frame: rotation center resets to the
-            # origin (reference train.py:483-484)
-            P["pred_s2_pc1centers"] = np.zeros_like(P["pred_s2_pc1centers"])
+            # framework additions: correspondence radius override (the
+            # reference hardwires radius=0.1, train.py:469) and a
+            # coarse->fine refinement cascade (evaluation.refinement.cascade:
+            # list of {radius, its?, max_dyaw_deg?, max_dxy?} stage dicts;
+            # each stage starts from the previous stage's world-frame
+            # output with its own trust region, so the fine radius may
+            # only polish, never re-basin)
+            ref_cfg = (cfg.evaluation.refinement
+                       if cfg.evaluation.has("refinement") else None)
+            if ref_cfg is not None and ref_cfg.has("radius"):
+                gate_kwargs["radius"] = ref_cfg.radius
+            stages = (ref_cfg.cascade
+                      if ref_cfg is not None and ref_cfg.has("cascade")
+                      else None)
+            if not stages:
+                stages = [{}]  # single stage with the global defaults
+            cur_t = P["pred_translations"]
+            cur_a = P["pred_angles"]
+            cur_c = P["pred_s2_pc1centers"]
+            icp_time = 0.0
+            for stage in stages:
+                stage_kwargs = dict(gate_kwargs)
+                if "radius" in stage:
+                    stage_kwargs["radius"] = stage["radius"]
+                for src, dst in (("max_dyaw_deg", "gate_max_dyaw_deg"),
+                                 ("max_dxy", "gate_max_dxy")):
+                    if src in stage:
+                        stage_kwargs[dst] = stage[src]
+                refined, elapsed = refine_predictions(
+                    cfg, val_idxs, cur_t, cur_a, cur_c,
+                    its=int(stage.get("its", icp_its)),
+                    dataset=self.dataset, **stage_kwargs,
+                )
+                cur_t = refined["translations"]
+                cur_a = refined["angles"]
+                # ICP transforms are world-frame: rotation center resets
+                # to the origin (reference train.py:483-484)
+                cur_c = np.zeros_like(cur_c)
+                icp_time += elapsed
+            P["pred_translations"] = cur_t
+            P["pred_angles"] = cur_a
+            P["pred_s2_pc1centers"] = cur_c
             cumulated_times += icp_time
 
         mean_loss = loss_sum / num_full_batches if num_full_batches else 0.0

@@ -131,6 +131,39 @@ def test_pretraining_restore_runs_initial_eval(workspace, caplog):
     assert (root / "runs" / "Pre" / "model-0.msgpack").is_file()
 
 
+def test_refine_cascade_eval(workspace):
+    """--refineICP with evaluation.refinement.cascade runs both gated
+    stages (framework addition; single-stage path is the reference
+    behavior, train.py:461-484) and writes finite refined artifacts."""
+    root, cfg_path, base = workspace
+    cfg = json.load(open(cfg_path))
+    cfg["evaluation"]["refinement_gate"] = {
+        "enabled": True, "max_dyaw_deg": 10.0, "max_dxy": 0.5,
+    }
+    cfg["evaluation"]["refinement"] = {"cascade": [
+        {"radius": 0.1},
+        {"radius": 0.05, "its": 4, "max_dyaw_deg": 3.0, "max_dxy": 0.15},
+    ]}
+    json.dump(cfg, open(cfg_path, "w"))
+    try:
+        _run(cfg_path, "eval_only", "--eval_epoch", "2",
+             "--refineICP", "--its", "5")
+        refined_dir = (root / "runs" / "E2E" / "val" / "eval000002"
+                       / "refined_p2p_5")
+        assert refined_dir.is_dir()
+        ev = json.load(open(refined_dir / "eval_180.json"))
+        assert ev["num"] == 8
+        t = np.load(refined_dir / "pred_translations.npy")
+        assert t.shape == (8, 3) and np.all(np.isfinite(t))
+        # world-frame reset after refinement (reference train.py:483-484)
+        centers = np.load(refined_dir / "pred_s2_pc1centers.npy")
+        assert np.all(centers == 0.0)
+    finally:
+        cfg["evaluation"].pop("refinement")
+        cfg["evaluation"].pop("refinement_gate")
+        json.dump(cfg, open(cfg_path, "w"))
+
+
 def test_checkpoint_roundtrip_preserves_predictions(workspace):
     """Restoring model-2 must reproduce eval000002's predictions exactly."""
     root, cfg_path, base = workspace
