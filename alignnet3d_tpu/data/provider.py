@@ -21,6 +21,7 @@ import json
 import logging
 import os
 import threading
+import time
 import queue as queue_mod
 
 import numpy as np
@@ -177,35 +178,9 @@ class PackedDataset:
             for k in (1, 2)
         }
         v1_file = os.path.join(basepath, "packed_v1.npz")
-        if cache and os.path.isfile(meta_file) and all(
-            os.path.isfile(p) for p in point_files.values()
-        ):
-            # v2 cache: small npz for labels/counts/metas + standalone .npy
-            # per points array, memory-mapped — instant startup and no
-            # double-resident copy at 40k+ scenes (VERDICT r2 weak #5)
-            data = np.load(meta_file)
-            arrays = {k: data[k] for k in data.files}
-            for k in (1, 2):
-                arrays[f"points{k}"] = np.load(
-                    point_files[k], mmap_mode="r" if mmap else None
-                )
-            self._init_from_arrays(arrays)
-        elif cache and os.path.isfile(v1_file):
-            # upgrade an existing v1 monolithic cache in place
-            data = np.load(v1_file)
-            arrays = {k: data[k] for k in data.files}
-            self._init_from_arrays(arrays)
-            try:
-                self._write_cache(meta_file, point_files, arrays)
-                for k in (1, 2):
-                    setattr(self, f"points{k}", np.load(
-                        point_files[k], mmap_mode="r" if mmap else None
-                    ))
-            except OSError as e:
-                logger.warning(f"could not upgrade packed cache: {e}")
-        elif cache:
-            self._pack_streaming(basepath, all_indices, meta_file,
-                                 point_files, mmap=mmap)
+        if cache:
+            self._load_or_build_cache(basepath, all_indices, meta_file,
+                                      point_files, v1_file, mmap)
         else:
             self._init_from_arrays(self._pack(basepath, all_indices))
         self.index_map = {int(v): i for i, v in enumerate(self.indices)}
@@ -213,13 +188,122 @@ class PackedDataset:
             missing = [i for i in indices if int(i) not in self.index_map]
             assert not missing, f"indices missing from dataset: {missing[:10]}"
 
+    # ------------------------------------------------------------ cache IO
+
+    @staticmethod
+    def _cache_complete(meta_file, point_files):
+        return os.path.isfile(meta_file) and all(
+            os.path.isfile(p) for p in point_files.values()
+        )
+
+    def _load_cache(self, meta_file, point_files, mmap):
+        # v2 cache: small npz for labels/counts/metas + standalone .npy
+        # per points array, memory-mapped — instant startup and no
+        # double-resident copy at 40k+ scenes (VERDICT r2 weak #5)
+        data = np.load(meta_file)
+        arrays = {k: data[k] for k in data.files}
+        for k in (1, 2):
+            arrays[f"points{k}"] = np.load(
+                point_files[k], mmap_mode="r" if mmap else None
+            )
+        self._init_from_arrays(arrays)
+
+    @staticmethod
+    def _lock_stale(lock_file, max_age_s=6 * 3600):
+        """A pack lock is stale when its owner pid is dead or it has sat
+        for longer than any plausible pack (guards against a packer killed
+        without cleanup — supervisor timeouts, OOM kills)."""
+        try:
+            pid_txt = open(lock_file).read().strip()
+            if pid_txt:
+                os.kill(int(pid_txt), 0)  # raises if the owner is gone
+            elif time.time() - os.path.getmtime(lock_file) < 10.0:
+                return False  # owner may still be mid-write of its pid
+            else:
+                return True
+            return time.time() - os.path.getmtime(lock_file) > max_age_s
+        except (OSError, ValueError):
+            return True
+
+    def _load_or_build_cache(self, basepath, all_indices, meta_file,
+                             point_files, v1_file, mmap,
+                             wait_timeout_s=2 * 3600):
+        """Load the packed cache, electing exactly ONE packer per dataset
+        dir when it is missing. Concurrent openers (multihost dryrun
+        workers, a tune script racing training) previously both ran
+        open_memmap('w+') on the shared points files — truncating pages
+        the other had mapped — and raced os.replace on one tmp path; now
+        losers of an O_EXCL lockfile wait for the commit marker instead."""
+        lock_file = meta_file + ".lock"
+        deadline = time.time() + wait_timeout_s
+        while True:
+            if self._cache_complete(meta_file, point_files):
+                self._load_cache(meta_file, point_files, mmap)
+                return
+            fd = None
+            try:
+                fd = os.open(lock_file,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+            except FileExistsError:
+                if self._lock_stale(lock_file):
+                    try:
+                        os.remove(lock_file)
+                    except OSError:
+                        pass
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"timed out waiting for packed cache {meta_file} "
+                        f"(lock {lock_file} held by another process)"
+                    )
+                time.sleep(1.0)
+                continue
+            except OSError:
+                # unwritable dataset dir: nothing else can be writing the
+                # cache here either; pack locklessly (the spill path in
+                # _pack_streaming handles read-only dirs)
+                fd = None
+            try:
+                # double-check: the previous holder may have committed
+                # between our completeness check and lock acquisition
+                if self._cache_complete(meta_file, point_files):
+                    self._load_cache(meta_file, point_files, mmap)
+                elif os.path.isfile(v1_file):
+                    # upgrade an existing v1 monolithic cache in place
+                    data = np.load(v1_file)
+                    arrays = {k: data[k] for k in data.files}
+                    self._init_from_arrays(arrays)
+                    try:
+                        self._write_cache(meta_file, point_files, arrays)
+                        for k in (1, 2):
+                            setattr(self, f"points{k}", np.load(
+                                point_files[k],
+                                mmap_mode="r" if mmap else None,
+                            ))
+                    except OSError as e:
+                        logger.warning(f"could not upgrade packed cache: {e}")
+                else:
+                    self._pack_streaming(basepath, all_indices, meta_file,
+                                         point_files, mmap=mmap)
+                return
+            finally:
+                if fd is not None:
+                    os.close(fd)
+                    try:
+                        os.remove(lock_file)
+                    except OSError:
+                        pass
+
     @staticmethod
     def _savez_atomic(meta_file, small):
         """Write the meta npz via temp + rename. The meta npz is the cache
         COMMIT MARKER (written last): a process killed mid-write (the
         supervisor's timeout loop, OOM kills) must not leave a
-        complete-looking cache that later opens load silently."""
-        tmp = meta_file + ".tmp.npz"
+        complete-looking cache that later opens load silently. The tmp
+        name is pid-unique so two uncoordinated writers can never splice
+        halves of each other's file."""
+        tmp = f"{meta_file}.tmp.{os.getpid()}.npz"
         np.savez(tmp, **small)
         os.replace(tmp, meta_file)
 

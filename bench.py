@@ -47,13 +47,30 @@ def _stop_training_chains():
     scripts/round3_chain.sh); this stops each registered root plus all
     its descendants (ppid tree walk over /proc — deliberately no
     command-line pattern matching) and gives the tunnel time to drain.
+
+    Robustness details: a registered pid is only trusted when the
+    process is OLDER than its pidfile (a recycled pid started after the
+    file was written — stale, removed untouched), and the full target
+    set is snapshotted BEFORE the first signal so children that
+    reparent to init when their supervisor dies still get the SIGKILL
+    escalation.
     """
+
+    def start_epoch(pid):
+        with open(f"/proc/{pid}/stat") as fh:
+            ticks = int(fh.read().rsplit(")", 1)[1].split()[19])
+        with open("/proc/stat") as fh:
+            btime = next(int(line.split()[1]) for line in fh
+                         if line.startswith("btime"))
+        return btime + ticks / os.sysconf("SC_CLK_TCK")
+
     roots = []
     for pidfile in sorted(glob.glob("/tmp/tpu-chain-*.pid")):
         try:
             pid = int(open(pidfile).read().strip())
-            os.kill(pid, 0)
-        except (OSError, ValueError):
+            if start_epoch(pid) > os.path.getmtime(pidfile) + 2.0:
+                raise OSError("pid recycled since registration")
+        except (OSError, ValueError, StopIteration):
             try:
                 os.remove(pidfile)
             except OSError:
@@ -79,16 +96,21 @@ def _stop_training_chains():
                 stack.append(child)
         return out
 
+    # snapshot the whole tree once: roots first (so supervisors can't
+    # respawn children), then children — survivors of SIGTERM stay in
+    # the target list even after reparenting to init
+    targets = []
+    for _, pid in roots:
+        targets.append(pid)
+        targets.extend(descendants(pid))
     for sig, grace in ((signal.SIGTERM, 10), (signal.SIGKILL, 3)):
         alive = False
-        for pidfile, pid in roots:
-            # root first so supervisors can't respawn their children
-            for target in [pid] + descendants(pid):
-                try:
-                    os.kill(target, sig)
-                    alive = True
-                except OSError:
-                    continue
+        for target in targets:
+            try:
+                os.kill(target, sig)
+                alive = True
+            except OSError:
+                continue
         if not alive:
             break
         print(f"[bench] stopped training chains {[p for _, p in roots]} "

@@ -49,8 +49,6 @@ def main():
     gt_t = ds.translations[rows].reshape(-1, 3)
     gt_a = ds.rel_angles[rows].reshape(-1)
     gt_c = ds.pc1centers[rows].reshape(-1, 3)
-    pos = np.arange(n)
-    is_test = pos >= 1000
 
     kmax = max(ks)
     # per-replica predictions
@@ -86,7 +84,8 @@ def main():
     from alignnet3d_tpu.evaluation.quickscore import format_table, success_table
 
     def score(label, t, a, c):
-        tab = success_table(t, a, c, gt_t, gt_a, gt_c, is_test)
+        # is_test defaults to quickscore.positional_is_test(n)
+        tab = success_table(t, a, c, gt_t, gt_a, gt_c)
         print(f"{label:10s} {format_table(tab, ('all', 'val', 'test'))}",
               flush=True)
 

@@ -13,8 +13,11 @@ set -u
 CONFIG="$1"
 CYCLE="${2:-1800}"
 cd "$(dirname "$0")/.."
-# register as a stoppable TPU chain root (bench.py serialization guard)
-echo $$ > "/tmp/tpu-chain-sup-$(basename "$CONFIG" .json).pid"
+# register as a stoppable TPU chain root (bench.py serialization guard);
+# deregister on exit so stale pidfiles can't point at recycled pids
+PIDFILE="/tmp/tpu-chain-sup-$(basename "$CONFIG" .json).pid"
+echo $$ > "$PIDFILE"
+trap 'rm -f "$PIDFILE"' EXIT
 while true; do
     timeout -k 30 "$CYCLE" python train.py train --config "$CONFIG"
     rc=$?

@@ -35,14 +35,24 @@ def main():
     from alignnet3d_tpu.icp.fpfh import global_registration_batch
     from alignnet3d_tpu.icp.p2point import pad_full_clouds
 
-    val = provider.getDataFiles(f"{basepath}/split/val.txt")[:n_pairs]
+    full_val = provider.getDataFiles(f"{basepath}/split/val.txt")
+    # POSITIONAL val/test rule (metrics._is_test): positions >= 1000 are
+    # the holdout. Sample HALF the pair budget from each side so the
+    # test columns are populated even at small n_pairs (taking the first
+    # n_pairs positions would leave the holdout empty for n_pairs<=1000)
+    full_is_test = positional_is_test(len(full_val))
+    half = max(1, n_pairs // 2)
+    positions = np.concatenate([
+        np.flatnonzero(~full_is_test)[:half],
+        np.flatnonzero(full_is_test)[:half],
+    ])
+    val = [full_val[p] for p in positions]
+    is_test = full_is_test[positions]
     ds = provider.PackedDataset(basepath)
     rows = ds.rows(val)
     gt_t = ds.translations[rows].reshape(-1, 3)
     gt_a = ds.rel_angles[rows].reshape(-1)
     gt_c = ds.pc1centers[rows].reshape(-1, 3)
-    # POSITIONAL val/test rule (metrics._is_test), not the file index
-    is_test = positional_is_test(len(val))
     (src, sm), (dst, dm) = pad_full_clouds(ds, val, max_points=4096)
 
     for mutual in (False, True):
