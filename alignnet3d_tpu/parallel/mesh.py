@@ -38,6 +38,51 @@ def make_mesh(dp: int = -1, mp: int = 1, devices=None) -> Mesh:
     return Mesh(dev_array, ("dp", "mp"))
 
 
+def choose_dp(dp: int, batch_size: int, num_processes: int = 1) -> int:
+    """Largest dp' <= dp that divides ``batch_size`` — and, under
+    multi-process SPMD, is also a multiple of ``num_processes`` so every
+    process owns the same number of dp rows (the even per-process batch
+    split ``multihost.global_batch`` performs). ``num_processes`` is
+    always a valid floor because the Trainer asserts
+    ``batch_size % num_processes == 0``."""
+    if num_processes > 1:
+        while dp > num_processes and (
+            batch_size % dp != 0 or dp % num_processes != 0
+        ):
+            dp -= 1
+    else:
+        while dp > 1 and batch_size % dp != 0:
+            dp -= 1
+    return dp
+
+
+def balanced_process_devices(devices, dp: int, mp: int,
+                             num_processes: int) -> list:
+    """Pick ``dp*mp`` devices with an EQUAL share from every process.
+
+    A plain prefix of ``jax.devices()`` after dp reduction can leave
+    process 0 owning more mesh rows than process 1, which breaks the even
+    per-process batch split (``make_array_from_process_local_data`` then
+    rejects the addressable shards). Groups devices by
+    ``device.process_index`` and takes ``dp*mp/num_processes`` from each,
+    in process order, so consecutive ``mp`` blocks stay within a process.
+    """
+    mp = max(1, mp)
+    per_proc = dp * mp // num_processes
+    assert per_proc % mp == 0, (
+        f"mp={mp} groups must not straddle processes "
+        f"(dp={dp}, processes={num_processes})"
+    )
+    by_proc: dict = {}
+    for d in devices:
+        by_proc.setdefault(d.process_index, []).append(d)
+    assert all(len(v) >= per_proc for v in by_proc.values()), (
+        f"mesh {dp}x{mp} needs {per_proc} devices per process; "
+        f"have {[len(v) for v in by_proc.values()]}"
+    )
+    return [d for p in sorted(by_proc) for d in by_proc[p][:per_proc]]
+
+
 def leaf_pspec(leaf, tp_threshold: int = TP_THRESHOLD) -> P:
     """Partition rule for one array: shard wide feature axes over 'mp'.
 

@@ -173,6 +173,23 @@ class ScalarWriter:
                 }}) + "\n")
 
 
+def cascade_stage_kwargs(base_kwargs: dict, stage: dict) -> dict:
+    """Per-stage refine_predictions kwargs for one cascade stage dict
+    ({radius?, max_dyaw_deg?, max_dxy?}). A stage that sets its own trust
+    region implies gating for that stage — otherwise stage-level
+    max_dyaw_deg / max_dxy would be silently dead whenever the global
+    evaluation.refinement_gate is disabled."""
+    kwargs = dict(base_kwargs)
+    if "radius" in stage:
+        kwargs["radius"] = stage["radius"]
+    for src, dst in (("max_dyaw_deg", "gate_max_dyaw_deg"),
+                     ("max_dxy", "gate_max_dxy")):
+        if src in stage:
+            kwargs[dst] = stage[src]
+            kwargs["gate"] = True
+    return kwargs
+
+
 class TrainState(flax.struct.PyTreeNode):
     step: Any
     params: Any
@@ -221,37 +238,14 @@ class Trainer:
         mp = mesh_cfg.mp if mesh_cfg else 1
         if dp == -1:
             dp = max(1, len(jax.devices()) // max(1, mp))
+        dp = meshlib.choose_dp(dp, self.batch_size, self.num_processes)
         if self.num_processes > 1:
-            # dp must divide the batch size AND spread evenly over the
-            # processes: a plain prefix of jax.devices() after reduction
-            # can leave process 0 with more mesh rows than process 1,
-            # breaking the even per-process split multihost.global_batch
-            # performs (each process feeds batch_size/num_processes rows)
-            while dp > self.num_processes and (
-                self.batch_size % dp != 0 or dp % self.num_processes != 0
-            ):
-                dp -= 1
-            per_proc = dp * max(1, mp) // self.num_processes
-            assert per_proc % max(1, mp) == 0, (
-                f"mp={mp} groups must not straddle processes "
-                f"(dp={dp}, processes={self.num_processes})"
+            mesh_devices = meshlib.balanced_process_devices(
+                jax.devices(), dp, mp, self.num_processes
             )
-            by_proc: dict = {}
-            for d in jax.devices():
-                by_proc.setdefault(d.process_index, []).append(d)
-            assert all(len(v) >= per_proc for v in by_proc.values()), (
-                f"mesh {dp}x{mp} needs {per_proc} devices per process; "
-                f"have {[len(v) for v in by_proc.values()]}"
-            )
-            mesh_devices = [
-                d for p in sorted(by_proc) for d in by_proc[p][:per_proc]
-            ]
             self.mesh = meshlib.make_mesh(dp=dp, mp=mp,
                                           devices=mesh_devices)
         else:
-            # dp must divide the batch size: largest divisor <= dp
-            while dp > 1 and self.batch_size % dp != 0:
-                dp -= 1
             self.mesh = meshlib.make_mesh(dp=dp, mp=mp)
         if self.use_mesh is None:
             self.use_mesh = self.mesh.devices.size > 1
@@ -769,18 +763,7 @@ class Trainer:
             cur_c = P["pred_s2_pc1centers"]
             icp_time = 0.0
             for stage in stages:
-                stage_kwargs = dict(gate_kwargs)
-                if "radius" in stage:
-                    stage_kwargs["radius"] = stage["radius"]
-                for src, dst in (("max_dyaw_deg", "gate_max_dyaw_deg"),
-                                 ("max_dxy", "gate_max_dxy")):
-                    if src in stage:
-                        stage_kwargs[dst] = stage[src]
-                        # a per-stage trust region implies gating for that
-                        # stage: without this, stage-level max_dyaw_deg /
-                        # max_dxy were silently dead when the global
-                        # refinement_gate was disabled
-                        stage_kwargs["gate"] = True
+                stage_kwargs = cascade_stage_kwargs(gate_kwargs, stage)
                 refined, elapsed = refine_predictions(
                     cfg, val_idxs, cur_t, cur_a, cur_c,
                     its=int(stage.get("its", icp_its)),
