@@ -171,6 +171,8 @@ class PackedDataset:
     def __init__(self, basepath: str, indices=None, cache: bool = True,
                  mmap: bool = True):
         self.basepath = basepath
+        self._basepath = basepath
+        self._vox = None
         all_indices = self._discover_indices(basepath)
         meta_file = os.path.join(basepath, f"packed_v{PACK_VERSION}.npz")
         point_files = {
@@ -464,6 +466,89 @@ class PackedDataset:
     def __len__(self):
         return len(self.indices)
 
+    # ------------------------------------------------- voxel resample view
+
+    def enable_voxel_resample(self, voxel_size: float, cache: bool = True):
+        """Density-equalized resampling (framework addition; the reference
+        only has uniform resample-with-replacement, provider.py:97-98).
+
+        Beam-model scans are quadratically denser on near surfaces: a <5 m
+        car carries ~4,400 points vs ~200 at 20 m, and uniform resampling
+        then concentrates the kept ``num_points`` on the nearest panel,
+        biasing the visible centroid differently in the two frames (round-3
+        error-structure study: <5 m pairs score 58 % <20 cm vs ~92 % at
+        10-20 m, scripts/analyze_error_structure.py). This builds a
+        one-point-per-voxel view of each cloud ONCE (cached next to the
+        packed arrays) and makes ``sample_batch`` draw uniformly over the
+        deduped view — approximately uniform over surface area. Far sparse
+        clouds (spacing > voxel) are untouched.
+        """
+        views = {}
+        for k in (1, 2):
+            kept, vcounts = self._voxel_view(k, float(voxel_size), cache)
+            offsets = np.zeros(len(vcounts) + 1, dtype=np.int64)
+            np.cumsum(vcounts, out=offsets[1:])
+            views[k] = (kept, offsets, vcounts)
+        self._vox = views
+        self._vox_size = float(voxel_size)
+
+    def _voxel_view(self, k: int, voxel_size: float, cache: bool):
+        mm = int(round(voxel_size * 1000))
+        kept_file = os.path.join(self._basepath,
+                                 f"packed_v2_vox{k}_{mm}mm.npy")
+        meta_file = os.path.join(self._basepath,
+                                 f"packed_v2_vox{k}_{mm}mm_counts.npz")
+        if cache and os.path.isfile(meta_file) and os.path.isfile(kept_file):
+            counts = np.load(meta_file)["counts"]
+            kept = np.load(kept_file, mmap_mode="r")
+            if int(counts.sum()) == len(kept):
+                return kept, counts
+        kept, counts = self._build_voxel_view(k, voxel_size)
+        if cache:
+            try:
+                np.save(kept_file, kept)
+                # counts npz is the commit marker (written last)
+                self._savez_atomic(meta_file, {"counts": counts})
+            except OSError as e:
+                logger.warning(f"could not cache voxel view: {e}")
+        return kept, counts
+
+    def _build_voxel_view(self, k: int, voxel_size: float,
+                          chunk_points: int = 4_000_000):
+        """Indices of one representative point per occupied voxel, per
+        cloud, processed in bounded-memory chunks of whole clouds."""
+        counts = np.asarray(getattr(self, f"counts{k}"))
+        offsets = np.asarray(getattr(self, f"offsets{k}"))
+        pts = getattr(self, f"points{k}")
+        n_clouds = len(counts)
+        kept_parts = []
+        vox_counts = np.zeros(n_clouds, dtype=np.int64)
+        start = 0
+        while start < n_clouds:
+            end, npts = start, 0
+            while end < n_clouds and (npts == 0
+                                      or npts + counts[end] <= chunk_points):
+                npts += int(counts[end])
+                end += 1
+            lo, hi = int(offsets[start]), int(offsets[end])
+            if hi > lo:
+                block = np.asarray(pts[lo:hi], dtype=np.float32)
+                cid = np.repeat(np.arange(start, end, dtype=np.int64),
+                                counts[start:end])
+                keys = np.empty((hi - lo, 4), dtype=np.int64)
+                keys[:, 0] = cid
+                keys[:, 1:] = np.floor(block / voxel_size).astype(np.int64)
+                _, first = np.unique(keys, axis=0, return_index=True)
+                first.sort()
+                kept_parts.append(first.astype(np.int64) + lo)
+                vox_counts[start:end] = np.bincount(
+                    cid[first] - start, minlength=end - start
+                )
+            start = end
+        kept = (np.concatenate(kept_parts) if kept_parts
+                else np.zeros(0, dtype=np.int64))
+        return kept, vox_counts
+
     @staticmethod
     def shard_indices(indices, host_id: int, num_hosts: int):
         """Static per-host split of a set of file indices for pod-scale
@@ -496,6 +581,37 @@ class PackedDataset:
         """
         rows = self.rows(file_indices)
         b = len(rows)
+        if self._vox is not None:
+            # density-equalized view (enable_voxel_resample): uniform draw
+            # over per-voxel representatives via one extra indirection
+            out = []
+            for k in (1, 2):
+                kept, voffs, vcounts = self._vox[k]
+                counts = vcounts[rows]
+                offsets = voffs[rows]
+                safe_counts = np.maximum(counts, 1)
+                pick = (
+                    rng.random((b, num_points)) * safe_counts[:, None]
+                ).astype(np.int64)
+                kept = np.asarray(kept)
+                if kept.size == 0:
+                    out.append(np.zeros((b, num_points, 3), np.float32))
+                    continue
+                # clamp like api._resample: empty clouds gather index 0
+                # and are zeroed below
+                gather = np.minimum(offsets[:, None] + pick, kept.size - 1)
+                pts = getattr(self, f"points{k}")[kept[gather]]
+                pts = np.where(counts[:, None, None] > 0, pts, 0.0)
+                out.append(np.ascontiguousarray(pts, dtype=np.float32))
+            labels = (
+                self.translations[rows],
+                self.rel_angles[rows],
+                self.pc1centers[rows],
+                self.pc2centers[rows],
+                self.pc1angles[rows],
+                self.pc2angles[rows],
+            )
+            return (*out, *[np.asarray(v) for v in labels])
         if use_native:
             from alignnet3d_tpu.data import native_loader
 

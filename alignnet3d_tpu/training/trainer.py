@@ -219,6 +219,14 @@ class Trainer:
         )
         self.num_batches_per_epoch = len(self.train_indices) // self.batch_size
         self.dataset = provider.PackedDataset(cfg.data.basepath)
+        # framework addition: density-equalized resampling (data.resample
+        # = {"mode": "voxel", "voxel_size": 0.05}); default is the
+        # reference's uniform resample-with-replacement (provider.py:97-98)
+        if cfg.data.has("resample") and cfg.data.resample.mode == "voxel":
+            self.dataset.enable_voxel_resample(
+                cfg.data.resample.voxel_size
+                if cfg.data.resample.has("voxel_size") else 0.05
+            )
 
         # pod-scale: if jax.distributed was initialized (parallel/multihost),
         # this process owns 1/num_processes of every batch; the mesh below

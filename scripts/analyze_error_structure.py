@@ -10,6 +10,15 @@ consistent with the 64-beam ray model's 26.9-degree vertical FOV clipping
 close objects into partial views (data/synthetic.py ray model;
 reference pointcloud.py:945-971).
 
+Follow-up measurement REJECTED the FOV hypothesis: median z-extent is
+1.52 m near vs 1.53 m far (no clipping). What does differ is raw point
+count (median 4368 near vs 203 far): the reference's uniform
+resample-with-replacement to num_points (provider.py:97-98, reproduced
+here) makes the nearest, densest car panel dominate the 1024 kept
+points, biasing the visible centroid differently in the two frames.
+Density-normalized resampling (voxel/FPS) is the candidate fix; ICP
+refinement should also preferentially repair near pairs (dense clouds).
+
 Usage: python scripts/analyze_error_structure.py <dataset_basepath> <eval_dir>
 e.g.   python scripts/analyze_error_structure.py /root/data/SynthCars80k \
            /root/data/runs/SynthCars80k/val/eval000209/refined_p2p_30
