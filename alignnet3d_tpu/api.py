@@ -37,13 +37,17 @@ from alignnet3d_tpu.ops.angle_codec import class_logits_to_angle_np
 
 class Aligner:
     def __init__(self, spec: ModelSpec, variables, batch_size: int = 128,
-                 scale_residuals: bool = False, seed: int = 0):
+                 scale_residuals: bool = False, seed: int = 0,
+                 voxel_resample: float | None = None):
         self.spec = spec
         self.variables = variables
         self.batch_size = batch_size
         self.residual_scale = (
             np.pi / spec.num_bins if scale_residuals else 1.0
         )
+        # density-equalized serving input (matches training
+        # data.resample.mode=voxel; see provider.enable_voxel_resample)
+        self.voxel_resample = voxel_resample
         self._rng = np.random.default_rng(seed)
         model = AlignNet(spec)
         self._forward = jax.jit(
@@ -79,6 +83,14 @@ class Aligner:
             cfg.evaluation.has("scale_residuals")
             and cfg.evaluation.scale_residuals
         )
+        # a model trained with density-equalized inputs serves with them
+        if ("voxel_resample" not in kwargs
+                and cfg.data.has("resample")
+                and cfg.data.resample.mode == "voxel"):
+            kwargs["voxel_resample"] = (
+                cfg.data.resample.voxel_size
+                if cfg.data.resample.has("voxel_size") else 0.05
+            )
         return cls(spec, variables, scale_residuals=scale, **kwargs)
 
     def _resample(self, clouds: Sequence[np.ndarray]) -> np.ndarray:
@@ -96,6 +108,22 @@ class Aligner:
         if total == 0:
             return np.zeros((m, n, 3), np.float32)
         flat = np.concatenate([a[:, :3] for a in arrs if len(a)])
+        if self.voxel_resample:
+            # one representative per occupied voxel per cloud, so dense
+            # near-range panels stop dominating the kept points (same
+            # semantics as provider.enable_voxel_resample, computed per
+            # call since serving inputs are not cacheable)
+            cid = np.repeat(np.arange(m, dtype=np.int64), lens)
+            keys = np.empty((total, 4), np.int64)
+            keys[:, 0] = cid
+            keys[:, 1:] = np.floor(
+                flat / float(self.voxel_resample)
+            ).astype(np.int64)
+            _, first = np.unique(keys, axis=0, return_index=True)
+            first.sort()
+            flat = flat[first]
+            lens = np.bincount(cid[first], minlength=m).astype(np.int64)
+            total = int(lens.sum())
         offs = np.zeros(m, np.int64)
         np.cumsum(lens[:-1], out=offs[1:])
         # scale one uniform block by per-cloud lengths (empty -> index 0,

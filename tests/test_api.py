@@ -108,3 +108,44 @@ def test_align_refined_improves_or_matches(trained, rng):
         transform_points(pc, refined["transforms"][0]) - pc, axis=1))
     assert err_ref <= err_raw * 1.05 + 1e-6
     assert err_ref < 0.3, (err_raw, err_ref)
+
+
+def test_voxel_resample_serving(trained, rng):
+    """voxel_resample equalizes density at serving time: a 200-point
+    coincident cluster stops dominating the kept points, and empty
+    clouds stay zeros."""
+    from alignnet3d_tpu.api import Aligner
+
+    config_path, ckpt, base = trained
+    aligner = Aligner.from_checkpoint(config_path, ckpt, batch_size=4,
+                                      voxel_resample=0.1)
+    dense = np.zeros((200, 3), np.float32)
+    sparse = np.stack([np.arange(1, 11, dtype=np.float32) * 5.0,
+                       np.zeros(10, np.float32),
+                       np.zeros(10, np.float32)], axis=1)
+    cloud = np.concatenate([dense, sparse])
+    out = aligner._resample([cloud, np.zeros((0, 3), np.float32)])
+    frac_origin = np.mean(np.all(out[0] == 0.0, axis=-1))
+    assert frac_origin < 0.3  # uniform would be ~200/210
+    assert np.all(out[1] == 0.0)
+    # align() still runs end to end through the voxel path
+    res = aligner.align([cloud], [cloud])
+    assert np.all(np.isfinite(res["transforms"]))
+
+
+def test_voxel_resample_config_pickup(trained):
+    """from_checkpoint adopts data.resample from the run config."""
+    import json as _json
+
+    from alignnet3d_tpu.api import Aligner
+
+    config_path, ckpt, base = trained
+    cfg = _json.load(open(config_path))
+    cfg["data"]["resample"] = {"mode": "voxel", "voxel_size": 0.07}
+    vox_cfg = config_path.replace("config.json", "config_vox.json")
+    _json.dump(cfg, open(vox_cfg, "w"))
+    aligner = Aligner.from_checkpoint(vox_cfg, ckpt)
+    assert aligner.voxel_resample == 0.07
+    # explicit kwarg wins over the config
+    aligner2 = Aligner.from_checkpoint(vox_cfg, ckpt, voxel_resample=None)
+    assert aligner2.voxel_resample is None
