@@ -506,8 +506,12 @@ class PackedDataset:
         kept, counts = self._build_voxel_view(k, voxel_size)
         if cache:
             try:
-                np.save(kept_file, kept)
-                # counts npz is the commit marker (written last)
+                # pid-unique tmp + rename (concurrent builders do redundant
+                # work but can never splice each other's files); counts npz
+                # is the commit marker (written last)
+                tmp = f"{kept_file}.tmp.{os.getpid()}.npy"
+                np.save(tmp, kept)
+                os.replace(tmp, kept_file)
                 self._savez_atomic(meta_file, {"counts": counts})
             except OSError as e:
                 logger.warning(f"could not cache voxel view: {e}")
