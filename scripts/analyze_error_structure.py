@@ -21,7 +21,7 @@ refinement should also preferentially repair near pairs (dense clouds).
 
 Usage: python scripts/analyze_error_structure.py <dataset_basepath> <eval_dir>
 e.g.   python scripts/analyze_error_structure.py /root/data/SynthCars80k \
-           /root/data/runs/SynthCars80k/val/eval000209/refined_p2p_30
+           /root/data/runs/SynthCars80k/val/eval000209/refined_p2p
 """
 
 import os
