@@ -189,3 +189,28 @@ def test_checkpoint_roundtrip_preserves_predictions(workspace):
         "pred_translations.npy"
     )
     np.testing.assert_allclose(before, after, atol=1e-5)
+
+
+def test_voxel_resample_config_wiring(workspace):
+    """data.resample.mode=voxel enables the density-equalized view on the
+    Trainer's dataset and trains an epoch through it (framework addition,
+    PARITY.md; reference only has uniform resampling, provider.py:97-98)."""
+    root, cfg_path, base = workspace
+    cfg = json.load(open(cfg_path))
+    cfg["data"]["resample"] = {"mode": "voxel", "voxel_size": 0.1}
+    vox_cfg_path = str(root / "E2EVox.json")
+    json.dump(cfg, open(vox_cfg_path, "w"))
+    from alignnet3d_tpu.config import load_config
+    from alignnet3d_tpu.training import Trainer
+
+    c = load_config(vox_cfg_path)
+    trainer = Trainer(c, seed=0)
+    assert trainer.dataset._vox is not None
+    assert trainer.dataset._vox_size == 0.1
+    from alignnet3d_tpu.training.trainer import ScalarWriter
+
+    state = trainer.init_state()
+    writer = ScalarWriter(str(root / "vox_train_scalars.jsonl"))
+    state = trainer.train_one_epoch(state, 0, writer)
+    loss = trainer.eval_one_epoch(state, 0, eval_only=True)
+    assert np.isfinite(loss)
