@@ -110,17 +110,14 @@ class Aligner:
         flat = np.concatenate([a[:, :3] for a in arrs if len(a)])
         if self.voxel_resample:
             # one representative per occupied voxel per cloud, so dense
-            # near-range panels stop dominating the kept points (same
-            # semantics as provider.enable_voxel_resample, computed per
-            # call since serving inputs are not cacheable)
+            # near-range panels stop dominating the kept points (the SAME
+            # dedup implementation the training-side view uses —
+            # provider.voxel_dedup_indices — computed per call since
+            # serving inputs are not cacheable)
+            from alignnet3d_tpu.data.provider import voxel_dedup_indices
+
             cid = np.repeat(np.arange(m, dtype=np.int64), lens)
-            keys = np.empty((total, 4), np.int64)
-            keys[:, 0] = cid
-            keys[:, 1:] = np.floor(
-                flat / float(self.voxel_resample)
-            ).astype(np.int64)
-            _, first = np.unique(keys, axis=0, return_index=True)
-            first.sort()
+            first = voxel_dedup_indices(flat, cid, self.voxel_resample)
             flat = flat[first]
             lens = np.bincount(cid[first], minlength=m).astype(np.int64)
             total = int(lens.sum())

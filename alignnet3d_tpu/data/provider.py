@@ -156,6 +156,23 @@ def load_batch(cfg, indices, override_batch_size=None,
             pc1angles, pc2angles)
 
 
+def voxel_dedup_indices(points, cloud_ids, voxel_size: float):
+    """Sorted indices of one representative point per (cloud, voxel).
+
+    The SINGLE implementation of the voxel-dedup semantics, shared by the
+    training-side view (PackedDataset.enable_voxel_resample) and the
+    serving Aligner (api.py voxel_resample) so train/serve quantization
+    can never drift.
+    """
+    pts = np.asarray(points, dtype=np.float32)
+    keys = np.empty((len(pts), 4), dtype=np.int64)
+    keys[:, 0] = cloud_ids
+    keys[:, 1:] = np.floor(pts[:, :3] / float(voxel_size)).astype(np.int64)
+    _, first = np.unique(keys, axis=0, return_index=True)
+    first.sort()
+    return first
+
+
 # --------------------------------------------------------------- packed path
 
 
@@ -171,7 +188,6 @@ class PackedDataset:
     def __init__(self, basepath: str, indices=None, cache: bool = True,
                  mmap: bool = True):
         self.basepath = basepath
-        self._basepath = basepath
         self._vox = None
         all_indices = self._discover_indices(basepath)
         meta_file = os.path.join(basepath, f"packed_v{PACK_VERSION}.npz")
@@ -477,50 +493,107 @@ class PackedDataset:
         then concentrates the kept ``num_points`` on the nearest panel,
         biasing the visible centroid differently in the two frames (round-3
         error-structure study: <5 m pairs score 58 % <20 cm vs ~92 % at
-        10-20 m, scripts/analyze_error_structure.py). This builds a
-        one-point-per-voxel view of each cloud ONCE (cached next to the
+        10-20 m, scripts/analyze_error_structure.py). This materializes a
+        one-point-per-voxel copy of each cloud ONCE (cached next to the
         packed arrays) and makes ``sample_batch`` draw uniformly over the
-        deduped view — approximately uniform over surface area. Far sparse
+        deduped copy — approximately uniform over surface area, through
+        the same native fast path as the uniform default. Far sparse
         clouds (spacing > voxel) are untouched.
         """
         views = {}
         for k in (1, 2):
-            kept, vcounts = self._voxel_view(k, float(voxel_size), cache)
+            vpts, vcounts = self._voxel_view(k, float(voxel_size), cache)
             offsets = np.zeros(len(vcounts) + 1, dtype=np.int64)
             np.cumsum(vcounts, out=offsets[1:])
-            views[k] = (kept, offsets, vcounts)
+            views[k] = (vpts, offsets, vcounts)
         self._vox = views
         self._vox_size = float(voxel_size)
 
-    def _voxel_view(self, k: int, voxel_size: float, cache: bool):
-        mm = int(round(voxel_size * 1000))
-        kept_file = os.path.join(self._basepath,
-                                 f"packed_v2_vox{k}_{mm}mm.npy")
-        meta_file = os.path.join(self._basepath,
-                                 f"packed_v2_vox{k}_{mm}mm_counts.npz")
-        if cache and os.path.isfile(meta_file) and os.path.isfile(kept_file):
-            counts = np.load(meta_file)["counts"]
-            kept = np.load(kept_file, mmap_mode="r")
-            if int(counts.sum()) == len(kept):
-                return kept, counts
-        kept, counts = self._build_voxel_view(k, voxel_size)
-        if cache:
+    def _vox_cache_files(self, k: int, voxel_size: float):
+        stem = os.path.join(
+            self.basepath,
+            f"packed_v{PACK_VERSION}_vox{k}_{voxel_size:g}",
+        )
+        return f"{stem}_points.npy", f"{stem}_meta.npz"
+
+    def _load_voxel_cache(self, k, points_file, meta_file):
+        """Load + validate a cached voxel view against the CURRENT parent
+        arrays; returns None when stale (dataset rebuilt in place)."""
+        meta = np.load(meta_file)
+        counts = meta["counts"]
+        vpts = np.load(points_file, mmap_mode="r")
+        parent = getattr(self, f"counts{k}")
+        if (len(counts) == len(parent)
+                and int(meta["parent_total"]) == len(
+                    getattr(self, f"points{k}"))
+                and int(counts.sum()) == len(vpts)):
+            return vpts, counts
+        return None
+
+    def _voxel_view(self, k: int, voxel_size: float, cache: bool,
+                    wait_timeout_s=2 * 3600):
+        points_file, meta_file = self._vox_cache_files(k, voxel_size)
+        if not cache:
+            return self._build_voxel_view(k, voxel_size, points_file=None)
+        # single-builder election, same discipline as the packed cache:
+        # the meta npz is the commit marker, losers wait on it
+        lock_file = meta_file + ".lock"
+        deadline = time.time() + wait_timeout_s
+        while True:
+            if os.path.isfile(meta_file) and os.path.isfile(points_file):
+                loaded = self._load_voxel_cache(k, points_file, meta_file)
+                if loaded is not None:
+                    return loaded
+            fd = None
             try:
-                # pid-unique tmp + rename (concurrent builders do redundant
-                # work but can never splice each other's files); counts npz
-                # is the commit marker (written last)
-                tmp = f"{kept_file}.tmp.{os.getpid()}.npy"
-                np.save(tmp, kept)
-                os.replace(tmp, kept_file)
-                self._savez_atomic(meta_file, {"counts": counts})
-            except OSError as e:
-                logger.warning(f"could not cache voxel view: {e}")
-        return kept, counts
+                fd = os.open(lock_file,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+            except FileExistsError:
+                if self._lock_stale(lock_file):
+                    try:
+                        os.remove(lock_file)
+                    except OSError:
+                        pass
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"timed out waiting for voxel cache {meta_file}"
+                    )
+                time.sleep(1.0)
+                continue
+            except OSError:
+                fd = None  # unwritable dir: build without caching
+                return self._build_voxel_view(k, voxel_size,
+                                              points_file=None)
+            try:
+                if os.path.isfile(meta_file) and os.path.isfile(points_file):
+                    loaded = self._load_voxel_cache(
+                        k, points_file, meta_file)
+                    if loaded is not None:
+                        return loaded
+                vpts, counts = self._build_voxel_view(
+                    k, voxel_size, points_file=points_file)
+                self._savez_atomic(meta_file, {
+                    "counts": counts,
+                    "parent_total": np.int64(
+                        len(getattr(self, f"points{k}"))),
+                })
+                return vpts, counts
+            finally:
+                if fd is not None:
+                    os.close(fd)
+                    try:
+                        os.remove(lock_file)
+                    except OSError:
+                        pass
 
     def _build_voxel_view(self, k: int, voxel_size: float,
-                          chunk_points: int = 4_000_000):
-        """Indices of one representative point per occupied voxel, per
-        cloud, processed in bounded-memory chunks of whole clouds."""
+                          points_file, chunk_points: int = 4_000_000):
+        """Materialize one representative point per occupied voxel per
+        cloud, in bounded-memory chunks of whole clouds. Writes straight
+        into a memmap at ``points_file`` (pid-unique tmp + rename) when
+        given, else returns an in-RAM array."""
         counts = np.asarray(getattr(self, f"counts{k}"))
         offsets = np.asarray(getattr(self, f"offsets{k}"))
         pts = getattr(self, f"points{k}")
@@ -539,19 +612,31 @@ class PackedDataset:
                 block = np.asarray(pts[lo:hi], dtype=np.float32)
                 cid = np.repeat(np.arange(start, end, dtype=np.int64),
                                 counts[start:end])
-                keys = np.empty((hi - lo, 4), dtype=np.int64)
-                keys[:, 0] = cid
-                keys[:, 1:] = np.floor(block / voxel_size).astype(np.int64)
-                _, first = np.unique(keys, axis=0, return_index=True)
-                first.sort()
+                first = voxel_dedup_indices(block, cid, voxel_size)
                 kept_parts.append(first.astype(np.int64) + lo)
                 vox_counts[start:end] = np.bincount(
                     cid[first] - start, minlength=end - start
                 )
             start = end
-        kept = (np.concatenate(kept_parts) if kept_parts
-                else np.zeros(0, dtype=np.int64))
-        return kept, vox_counts
+        total = int(vox_counts.sum())
+        if points_file is not None:
+            from numpy.lib.format import open_memmap
+
+            tmp = f"{points_file}.tmp.{os.getpid()}.npy"
+            out = open_memmap(tmp, mode="w+", dtype=np.float32,
+                              shape=(total, 3))
+        else:
+            out = np.empty((total, 3), dtype=np.float32)
+        pos = 0
+        for kept in kept_parts:
+            out[pos:pos + len(kept)] = pts[kept]
+            pos += len(kept)
+        if points_file is not None:
+            out.flush()
+            del out
+            os.replace(tmp, points_file)
+            out = np.load(points_file, mmap_mode="r")
+        return out, vox_counts
 
     @staticmethod
     def shard_indices(indices, host_id: int, num_hosts: int):
@@ -586,25 +671,41 @@ class PackedDataset:
         rows = self.rows(file_indices)
         b = len(rows)
         if self._vox is not None:
-            # density-equalized view (enable_voxel_resample): uniform draw
-            # over per-voxel representatives via one extra indirection
+            # density-equalized copy (enable_voxel_resample): the deduped
+            # flat points use the SAME layout as the uniform arrays, so
+            # the native fast path applies unchanged
+            if use_native:
+                from alignnet3d_tpu.data import native_loader
+
+                seeds = rng.integers(0, 2 ** 63, 2)
+                pcs = [
+                    native_loader.resample_gather(
+                        self._vox[k][0], self._vox[k][1], self._vox[k][2],
+                        rows, num_points, int(seeds[k - 1]),
+                    )
+                    for k in (1, 2)
+                ]
+            else:
+                pcs = [None, None]
             out = []
-            for k in (1, 2):
-                kept, voffs, vcounts = self._vox[k]
+            for k, native_pc in zip((1, 2), pcs):
+                if native_pc is not None:
+                    out.append(native_pc)
+                    continue
+                vpts, voffs, vcounts = self._vox[k]
                 counts = vcounts[rows]
                 offsets = voffs[rows]
                 safe_counts = np.maximum(counts, 1)
                 pick = (
                     rng.random((b, num_points)) * safe_counts[:, None]
                 ).astype(np.int64)
-                kept = np.asarray(kept)
-                if kept.size == 0:
+                if len(vpts) == 0:
                     out.append(np.zeros((b, num_points, 3), np.float32))
                     continue
                 # clamp like api._resample: empty clouds gather index 0
                 # and are zeroed below
-                gather = np.minimum(offsets[:, None] + pick, kept.size - 1)
-                pts = getattr(self, f"points{k}")[kept[gather]]
+                gather = np.minimum(offsets[:, None] + pick, len(vpts) - 1)
+                pts = np.asarray(vpts)[gather]
                 pts = np.where(counts[:, None, None] > 0, pts, 0.0)
                 out.append(np.ascontiguousarray(pts, dtype=np.float32))
             labels = (

@@ -46,6 +46,13 @@ def choose_dp(dp: int, batch_size: int, num_processes: int = 1) -> int:
     always a valid floor because the Trainer asserts
     ``batch_size % num_processes == 0``."""
     if num_processes > 1:
+        # the floor below is only valid when every process can take an
+        # equal batch share; fail here, at the selection site, instead of
+        # deep inside make_array_from_process_local_data
+        assert batch_size % num_processes == 0, (
+            f"batch_size {batch_size} must divide over "
+            f"{num_processes} processes"
+        )
         while dp > num_processes and (
             batch_size % dp != 0 or dp % num_processes != 0
         ):

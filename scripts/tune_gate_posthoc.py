@@ -1,12 +1,19 @@
 """Post-hoc refinement-gate threshold sweep on cached artifacts (no TPU).
 
-Because the in-loop gate (icp/p2point.py) falls back to the NETWORK
-prediction for rejected pairs, any TIGHTER (max_dyaw_deg, max_dxy)
-threshold pair can be evaluated exactly from a finished refined eval's
-cached arrays: accept the refined output only where its observable
-delta vs the network output stays inside the trust region. This sweeps
-the thresholds on the val subset and reports the untouched test subset
-(positions >= 1000) alongside, zero ICP re-runs.
+Because the in-loop gate (icp/p2point.py:291-309) falls back to the
+NETWORK prediction for rejected pairs, any TIGHTER (max_dyaw_deg,
+max_dxy) threshold pair can be evaluated exactly from a refined eval
+that RAN WITH THE GATE ENABLED: pairs the looser in-loop gate rejected
+(fitness not better, or outside the loose region) are already identical
+to the network output, so post-hoc tightening reproduces in-loop
+behavior bit-for-bit. This sweeps the thresholds on the val subset and
+reports the untouched test subset (positions >= 1000) alongside, zero
+ICP re-runs.
+
+NOT exact for gate-DISABLED artifacts: the in-loop gate additionally
+requires the fitness/rmse 'better' condition, which is not recoverable
+from the cached arrays; on ungated artifacts this script over-accepts
+relative to a real in-loop run at the same thresholds.
 
 Round-3 motivation: the round-2 gate (10 deg / 0.5 m), tuned when the
 network was at 79% <20 cm, accepts ~100% of refinements from the 88%
@@ -63,8 +70,9 @@ def main():
         net["translations"], net_a, net["s2_pc1centers"],
         np.zeros_like(gt_c),
     )
+    # in-loop gate semantics: wrapped to (-180, 180], NOT folded at 180
+    # (a 179-degree ICP flip must read as a huge delta, p2point.py:299-301)
     dyaw = np.abs(np.degrees(angle_diff(ref_a, net_a)))
-    dyaw = np.minimum(dyaw, np.abs(dyaw - 180.0))
     dxy = np.linalg.norm(ref["translations"][:, :2] - net_t0[:, :2], axis=1)
     is_test = positional_is_test(len(val))
 

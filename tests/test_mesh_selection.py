@@ -41,12 +41,15 @@ class TestChooseDp:
         # the review scenario: 8 devices, 2 processes, batch 12.
         # dp=6 divides 12 AND is a multiple of 2
         assert meshlib.choose_dp(8, 12, num_processes=2) == 6
-        # floor is num_processes itself (batch % processes == 0 asserted
-        # upstream)
-        assert meshlib.choose_dp(8, 10, num_processes=4) == 4
         # odd dp values that divide the batch but straddle processes are
         # rejected: dp=7 divides 14 but 7 % 2 != 0
         assert meshlib.choose_dp(8, 14, num_processes=2) == 2
+
+    def test_multiprocess_indivisible_batch_rejected(self):
+        # batch 10 cannot split evenly over 4 processes: fail at the
+        # selection site, not in make_array_from_process_local_data
+        with pytest.raises(AssertionError):
+            meshlib.choose_dp(8, 10, num_processes=4)
 
     def test_multiprocess_exact_fit(self):
         assert meshlib.choose_dp(8, 16, num_processes=2) == 8

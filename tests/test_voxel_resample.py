@@ -15,7 +15,7 @@ from alignnet3d_tpu.data import provider
 def _dataset_from_arrays(tmp_path, clouds1, clouds2):
     """Build a PackedDataset directly from in-memory ragged clouds."""
     ds = provider.PackedDataset.__new__(provider.PackedDataset)
-    ds.basepath = ds._basepath = str(tmp_path)
+    ds.basepath = str(tmp_path)
     ds._vox = None
     n = len(clouds1)
     arrays = {
