@@ -26,7 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use_old_results", action="store_true",
                         help="Reuse stored predictions instead of inference")
     parser.add_argument("--refineICPmethod", required=False, default="p2p",
-                        choices=["p2p"], help="ICP method for refinement")
+                        choices=["p2p", "p2plane"],
+                        help="ICP method for refinement (p2plane fills the "
+                        "reference's asserted-out variant, icp.py:81-83)")
     parser.add_argument("--eval_epoch", required=False, default="199",
                         help="Epoch to eval in eval_only mode")
     parser.add_argument("--seed", required=False, default=0, type=int)
@@ -84,6 +86,7 @@ def main(argv=None):
         trainer.train(
             eval_only=True, eval_epoch=flags.eval_epoch,
             refine_icp=flags.refineICP, icp_its=int(flags.its),
+            icp_method=flags.refineICPmethod,
             use_old_results=flags.use_old_results,
         )
 

@@ -236,7 +236,8 @@ def refine_predictions(cfg, val_idxs, pred_translations, pred_angles,
                        dataset=None, pair_chunk: int = 128,
                        max_points: int = 4096, gate: bool = False,
                        gate_max_dyaw_deg: float = 15.0,
-                       gate_max_dxy: float = 0.5):
+                       gate_max_dxy: float = 0.5,
+                       method: str = "p2p"):
     """ICP-refine network predictions over the whole val set
     (replaces reference train.py:461-484's per-sample C++ loop).
 
@@ -258,8 +259,21 @@ def refine_predictions(cfg, val_idxs, pred_translations, pred_angles,
       (|dyaw| <= gate_max_dyaw_deg, |dxy| <= gate_max_dxy) — a refinement
       that jumps far from a near-perfect init is chasing the wrong basin,
       and chamfer alone cannot see that under partial overlap.
+
+    ``method``: 'p2p' (reference train.py:36's only working choice) or
+    'p2plane' (icp/p2plane.py — fills the reference's asserted-out
+    variant, icp.py:81-83). Gate scoring stays point-to-point for both
+    so the acceptance decision is method-independent.
     """
     from alignnet3d_tpu.data.provider import PackedDataset
+
+    if method == "p2plane":
+        from alignnet3d_tpu.icp.p2plane import icp_p2plane_batch
+
+        icp_fn = icp_p2plane_batch
+    else:
+        assert method == "p2p", f"unknown refinement method {method!r}"
+        icp_fn = partial(icp_p2point_batch, with_constraint=True)
 
     if dataset is None:
         dataset = PackedDataset(cfg.data.basepath)
@@ -284,9 +298,8 @@ def refine_predictions(cfg, val_idxs, pred_translations, pred_angles,
             for i in range(s, e)
         ])
         t0 = time.time()
-        tf, fit, rmse = icp_p2point_batch(
+        tf, fit, rmse = icp_fn(
             src, src_mask, dst, dst_mask, init, radius=radius, its=its,
-            with_constraint=True,
         )
         if gate:
             # score the INIT with a 0-iteration pass (same NN/radius gate)

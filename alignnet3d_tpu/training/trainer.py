@@ -182,6 +182,8 @@ def cascade_stage_kwargs(base_kwargs: dict, stage: dict) -> dict:
     kwargs = dict(base_kwargs)
     if "radius" in stage:
         kwargs["radius"] = stage["radius"]
+    if "method" in stage:
+        kwargs["method"] = stage["method"]
     for src, dst in (("max_dyaw_deg", "gate_max_dyaw_deg"),
                      ("max_dxy", "gate_max_dxy")):
         if src in stage:
@@ -554,6 +556,7 @@ class Trainer:
     def eval_one_epoch(self, state: TrainState, epoch, eval_only: bool,
                        do_timings: bool = False, override_batch_size=None,
                        refine_icp: bool = False, icp_its: int = 30,
+                       icp_method: str = "p2p",
                        use_old_results: bool = False,
                        val_writer: ScalarWriter | None = None,
                        val_writer_180: ScalarWriter | None = None):
@@ -600,11 +603,17 @@ class Trainer:
         # determinism the reference probes for by hand (provider.py:99-100)
         eval_rng = self._epoch_rng(2)
 
+        # effective refinement method: CLI --refineICPmethod, overridable
+        # by config (evaluation.refinement.method)
+        if (cfg.evaluation.has("refinement")
+                and cfg.evaluation.refinement.has("method")):
+            icp_method = cfg.evaluation.refinement.method
+
         eval_dir = f"{self.logdir}/val/eval{str(epoch).zfill(6)}"
         base_eval_dir = eval_dir
         if refine_icp:
             suffix = f"_{icp_its}" if icp_its != 30 else ""
-            eval_dir = f"{eval_dir}/refined_p2p{suffix}"
+            eval_dir = f"{eval_dir}/refined_{icp_method}{suffix}"
         if self.is_main_process and os.path.isdir(eval_dir):
             # reference uses int(time.time()) alone (train.py:405); sub-second
             # re-evals (e.g. timings mode) need a uniquifier
@@ -761,6 +770,9 @@ class Trainer:
                        if cfg.evaluation.has("refinement") else None)
             if ref_cfg is not None and ref_cfg.has("radius"):
                 gate_kwargs["radius"] = ref_cfg.radius
+            # effective method resolved above (CLI/config); cascade
+            # stages may override per stage
+            gate_kwargs["method"] = icp_method
             stages = (ref_cfg.cascade
                       if ref_cfg is not None and ref_cfg.has("cascade")
                       else None)
@@ -852,6 +864,7 @@ class Trainer:
 
     def train(self, eval_only: bool = False, eval_epoch=None,
               refine_icp: bool = False, icp_its: int = 30,
+              icp_method: str = "p2p",
               use_old_results: bool = False, do_timings: bool = False,
               override_batch_size=None, eval_only_model_to_load=None):
         """Main entry (reference train.py:187-332)."""
@@ -939,6 +952,7 @@ class Trainer:
                     self.eval_one_epoch(
                         state, epoch, eval_only=eval_only,
                         refine_icp=refine_icp, icp_its=icp_its,
+                        icp_method=icp_method,
                         use_old_results=use_old_results,
                         val_writer=val_writer, val_writer_180=val_writer_180,
                     )
