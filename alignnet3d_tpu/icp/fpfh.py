@@ -216,7 +216,26 @@ def ransac_registration(src, src_mask, dst, dst_mask, src_feat, dst_feat,
         return score, R, t
 
     keys = jax.random.split(rng_key, num_hypotheses)
-    scores, Rs, ts = jax.vmap(hypothesis)(keys)
+    # Hypothesis chunking: a flat vmap materializes the (K, N) inlier
+    # error matrix, which at K=16k x N=2k (x B pairs once batch-vmapped)
+    # exceeds HBM. lax.map serializes chunks of 2048 hypotheses, keeping
+    # peak memory at the K=2048 level while the reduction (per-chunk
+    # best, then best-of-bests) is exact. Tie-break order between equal
+    # scores differs from the flat argmax; scores are integer inlier
+    # counts so ties are benign.
+    chunk = 2048
+
+    def eval_chunk(ks):
+        s, r, tt = jax.vmap(hypothesis)(ks)
+        b = jnp.argmax(s)
+        return s[b], r[b], tt[b]
+
+    if num_hypotheses > chunk and num_hypotheses % chunk == 0:
+        scores, Rs, ts = jax.lax.map(
+            eval_chunk, keys.reshape(num_hypotheses // chunk, chunk, 2)
+        )
+    else:
+        scores, Rs, ts = jax.vmap(hypothesis)(keys)
     best = jnp.argmax(scores)
     R, t = Rs[best], ts[best]
     # final inlier stats

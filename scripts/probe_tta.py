@@ -7,7 +7,7 @@ independent resamples buys accuracy (angles are aggregated as a
 circular mean mod pi after flip-alignment to the first sample's
 hypothesis; translations/centers average linearly).
 
-Usage: python scripts/probe_tta.py <run_config.json> <epoch> [K ...]
+Usage: python scripts/probe_tta.py <run_dir_or_config.json> <epoch> [K ...]
 """
 
 import json
@@ -31,11 +31,20 @@ def main():
     from alignnet3d_tpu.ops.flip_resolve import apply_flip_resolution
     from alignnet3d_tpu.training.trainer import Trainer
 
+    if os.path.isdir(cfg_path):
+        cfg_path = os.path.join(cfg_path, "config.json")
     cfg = load_config(cfg_path)
+    # A run-dir config.json derives logdir from its filename stem
+    # ("config" -> runs/config/). If the checkpoint lives next to the
+    # config file, that dir IS the run dir — restore from there.
+    ckpt_dir = os.path.dirname(os.path.abspath(cfg_path))
+    if not os.path.exists(os.path.join(ckpt_dir, f"model-{epoch}.msgpack")):
+        ckpt_dir = None
     trainer = Trainer(cfg, seed=0, use_mesh=False)
     state = trainer.init_state()
     state = trainer.restore_checkpoint(
-        state, os.path.join(trainer.logdir, f"model-{epoch}.msgpack")
+        state,
+        os.path.join(ckpt_dir or trainer.logdir, f"model-{epoch}.msgpack"),
     )
     eval_fn = trainer._get_jitted("eval")
 

@@ -55,13 +55,24 @@ def main():
     gt_c = ds.pc1centers[rows].reshape(-1, 3)
     (src, sm), (dst, dm) = pad_full_clouds(ds, val, max_points=4096)
 
+    # Chunk pairs like icp/runner.py (pair_chunk=128): the FPFH neighbor
+    # gather is (B, N, k, 33) and blows HBM at B=512 in one launch
+    # (observed: 17.7 GB alloc). Hypothesis memory is bounded separately
+    # by the lax.map chunking inside ransac_registration.
+    pair_chunk = 128
+    n_total = len(src)
     for mutual in (False, True):
         for k in (2048, 4096, 8192, 16384):
             t0 = time.time()
-            tf, fit, rmse = global_registration_batch(
-                src, sm, dst, dm, voxel_size=voxel, method="ransac",
-                num_hypotheses=k, mutual_filter=mutual,
-            )
+            parts = []
+            for s0 in range(0, n_total, pair_chunk):
+                e0 = min(s0 + pair_chunk, n_total)
+                parts.append(global_registration_batch(
+                    src[s0:e0], sm[s0:e0], dst[s0:e0], dm[s0:e0],
+                    voxel_size=voxel, method="ransac",
+                    num_hypotheses=k, mutual_filter=mutual,
+                )[0])
+            tf = np.concatenate(parts, axis=0)
             dt = time.time() - t0
             pa = np.arctan2(tf[:, 1, 0], tf[:, 0, 0])
             tab = success_table(tf[:, :3, 3], pa, np.zeros_like(gt_c),

@@ -200,3 +200,28 @@ def test_batched_ransac_matches_per_pair(rng):
     for i, (s, d, _) in enumerate(pairs):
         moved = transform_points(s, out[i])
         assert np.median(np.linalg.norm(moved - d, axis=1)) < 0.35, i
+
+
+def test_ransac_hypothesis_chunking_equivalent(rng):
+    """num_hypotheses > 2048 takes the lax.map chunked path (HBM-bounded
+    for the K=16k sweep, fpfh.py ransac_registration); the per-chunk
+    best-of-bests reduction must recover the same transform the flat
+    vmap does."""
+    import jax
+
+    src = _L_cloud(rng, n=256)
+    gt = get_mat_angle([1.0, 2.0, 0.1], 0.6)
+    dst = transform_points(src, gt).astype(np.float32)
+    m = np.ones(len(src), bool)
+    feat = rng.normal(size=(len(src), 8)).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    results = {}
+    for k in (2048, 4096):  # flat path vs 2-chunk lax.map path
+        R, t, fit, _ = fpfh.ransac_registration(
+            src, m, dst, m, feat, feat, key, 0.1, num_hypotheses=k)
+        results[k] = (np.asarray(R), np.asarray(t), float(fit))
+    for k, (R, t, fit) in results.items():
+        yaw = np.arctan2(R[1, 0], R[0, 0])
+        assert abs(yaw - 0.6) < 1e-3, (k, yaw)
+        assert np.allclose(t, [1.0, 2.0, 0.1], atol=1e-3), (k, t)
+        assert fit > 0.99, (k, fit)
