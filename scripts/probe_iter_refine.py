@@ -1,0 +1,170 @@
+"""Iterative network refinement probe: re-apply the model to its own
+coarsely-aligned output and compose transforms.
+
+Pass 1 predicts T1 for (pc1, pc2); pass k re-runs the network on
+(T_{k-1} pc1, pc2) — a nearly-aligned pair — and composes
+T_k = dT_k @ T_{k-1}. The hypothesis: at near-identity relative pose the
+prediction task is far easier (no flip ambiguity, small residual bins),
+so iteration should lift the fine buckets (<2 cm / <10 cm) the way ICP
+does but with learned correspondences instead of nearest-point — the
+reference has no analogue (its only refinement is Open3D ICP,
+train.py:461-484).
+
+Each iteration is also scored with a trust-region gate (accept the
+incremental update only when |da| <= gate_deg and |dt_xy| <= gate_xy):
+an out-of-basin second pass can throw away a good init, exactly the
+failure mode the ICP gate exists for (icp/p2point.py:248-261). The
+incremental world displacement at the object equals the raw predicted
+translation of the pass (M2 @ c2 = c2 + t2), so the gate needs no
+re-basing.
+
+Usage: python scripts/probe_iter_refine.py <run_dir_or_config.json> <epoch>
+           [n_iters] [gate_deg] [gate_xy]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _mats_from(t, a, c):
+    """Vectorized get_mat_angle (geometry.py:77-93): rotate yaw a about
+    center c, then translate by t. (n,3),(n,),(n,3) -> (n,4,4)."""
+    n = len(a)
+    ca, sa = np.cos(a), np.sin(a)
+    M = np.tile(np.eye(4), (n, 1, 1))
+    M[:, 0, 0] = ca
+    M[:, 0, 1] = -sa
+    M[:, 1, 0] = sa
+    M[:, 1, 1] = ca
+    M[:, :3, 3] = c - np.einsum("nij,nj->ni", M[:, :3, :3], c) + t
+    return M
+
+
+def main():
+    cfg_path, epoch = sys.argv[1], int(sys.argv[2])
+    n_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    gate_deg = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
+    gate_xy = float(sys.argv[5]) if len(sys.argv) > 5 else 0.15
+
+    import jax
+
+    from alignnet3d_tpu.config import load_config
+    from alignnet3d_tpu.ops.angle_codec import class_logits_to_angle_np
+    from alignnet3d_tpu.ops.flip_resolve import apply_flip_resolution
+    from alignnet3d_tpu.training.trainer import Trainer
+
+    if os.path.isdir(cfg_path):
+        cfg_path = os.path.join(cfg_path, "config.json")
+    cfg = load_config(cfg_path)
+    ckpt_dir = os.path.dirname(os.path.abspath(cfg_path))
+    if not os.path.exists(os.path.join(ckpt_dir, f"model-{epoch}.msgpack")):
+        ckpt_dir = None
+    trainer = Trainer(cfg, seed=0, use_mesh=False)
+    state = trainer.init_state()
+    state = trainer.restore_checkpoint(
+        state,
+        os.path.join(ckpt_dir or trainer.logdir, f"model-{epoch}.msgpack"),
+    )
+    eval_fn = trainer._get_jitted("eval")
+
+    val_idxs = list(trainer.val_indices)
+    n = len(val_idxs)
+    bs = trainer.batch_size
+    nb = trainer.spec.num_bins
+    residual_scale = (
+        np.pi / nb
+        if cfg.evaluation.has("scale_residuals")
+        and cfg.evaluation.scale_residuals else 1.0
+    )
+    ds = trainer.dataset
+    rows = ds.rows(val_idxs)
+    gt_t = ds.translations[rows].reshape(-1, 3)
+    gt_a = ds.rel_angles[rows].reshape(-1)
+    gt_c = ds.pc1centers[rows].reshape(-1, 3)
+
+    from alignnet3d_tpu.evaluation.quickscore import (
+        format_table,
+        success_table,
+    )
+
+    def score(label, M):
+        yaw = np.arctan2(M[:, 1, 0], M[:, 0, 0])
+        tab = success_table(M[:, :3, 3].astype(np.float32), yaw,
+                            np.zeros((n, 3), np.float32), gt_t, gt_a, gt_c)
+        print(f"{label:16s} {format_table(tab, ('all', 'val', 'test'))}",
+              flush=True)
+
+    num_batches = int(np.ceil(n / bs))
+    M = None          # composed transform so far, (n,4,4)
+    M_gated = None    # same but with per-iteration trust-region gating
+    for it in range(n_iters):
+        # FIXED eval stream per pass (same determinism contract as
+        # trainer._eval_epoch, trainer.py:600-604)
+        rng = trainer._epoch_rng(2, it)
+        t_all = np.empty((n, 3), np.float32)
+        a_all = np.empty(n, np.float64)
+        c_all = np.empty((n, 3), np.float32)
+        for bi in range(num_batches):
+            s, e = bi * bs, min((bi + 1) * bs, n)
+            take = val_idxs[s:e] + [val_idxs[0]] * (bs - (e - s))
+            batch = trainer._make_batch(take, rng=rng)
+            pc1 = np.asarray(batch[0])
+            if it > 0:
+                Mb = M[s:e]
+                pad = np.tile(np.eye(4), (len(pc1) - (e - s), 1, 1))
+                Mb = np.concatenate([Mb, pad]) if len(pad) else Mb
+                pc1 = np.einsum(
+                    "bij,bnj->bni", Mb[:, :3, :3].astype(np.float32), pc1
+                ) + Mb[:, None, :3, 3].astype(np.float32)
+                batch = (pc1,) + tuple(batch[1:])
+            _, out = eval_fn(state, batch)
+            out = jax.device_get(out)
+            a1 = class_logits_to_angle_np(
+                out["pred_pc1angle_logits"][:e - s], nb, residual_scale)
+            a2 = class_logits_to_angle_np(
+                out["pred_pc2angle_logits"][:e - s], nb, residual_scale)
+            ar = class_logits_to_angle_np(
+                out["pred_remaining_angle_logits"][:e - s], nb,
+                residual_scale)
+            composed = a2 - a1 + ar
+            composed, _ = apply_flip_resolution(
+                pc1[:e - s], batch[1][:e - s],
+                out["pred_translations"][:e - s], composed,
+                out["pred_s2_pc1centers"][:e - s],
+            )
+            t_all[s:e] = out["pred_translations"][:e - s]
+            a_all[s:e] = composed
+            c_all[s:e] = out["pred_s2_pc1centers"][:e - s]
+        dM = _mats_from(t_all, a_all, c_all)
+        if it == 0:
+            M = dM
+            M_gated = dM.copy()
+            score("iter 1", M)
+        else:
+            M = np.einsum("nij,njk->nik", dM, M)
+            score(f"iter {it + 1} raw", M)
+            # gate: wrap the incremental yaw to the nearest mod-pi branch
+            # (flip resolution already picked the branch; near-aligned
+            # increments should be tiny)
+            da = (a_all + np.pi / 2) % np.pi - np.pi / 2
+            ok = (np.abs(np.degrees(da)) <= gate_deg) & (
+                np.linalg.norm(t_all[:, :2], axis=1) <= gate_xy
+            )
+            M_gated = np.where(
+                ok[:, None, None],
+                np.einsum("nij,njk->nik", dM, M_gated), M_gated,
+            )
+            score(
+                f"iter {it + 1} gated", M_gated,
+            )
+            print(f"  gate accepted {int(ok.sum())}/{n} "
+                  f"(|da|<={gate_deg}deg, |dxy|<={gate_xy}m)", flush=True)
+            # raw path continues from raw; gated path from gated
+
+
+if __name__ == "__main__":
+    main()
