@@ -99,6 +99,32 @@ def transform_points(points: np.ndarray, mat: np.ndarray) -> np.ndarray:
     return pts @ mat[:3, :3].T + mat[:3, 3]
 
 
+def get_mat_angle_batch(translation, rotation, rotation_center) -> np.ndarray:
+    """Vectorized :func:`get_mat_angle`: (n,3),(n,),(n,3) -> (n,4,4)."""
+    t = np.asarray(translation, dtype=np.float64).reshape(-1, 3)
+    a = np.asarray(rotation, dtype=np.float64).reshape(-1)
+    c = np.asarray(rotation_center, dtype=np.float64).reshape(-1, 3)
+    n = len(a)
+    ca, sa = np.cos(a), np.sin(a)
+    M = np.tile(np.eye(4), (n, 1, 1))
+    M[:, 0, 0] = ca
+    M[:, 0, 1] = -sa
+    M[:, 1, 0] = sa
+    M[:, 1, 1] = ca
+    M[:, :3, 3] = c - np.einsum("nij,nj->ni", M[:, :3, :3], c) + t
+    return M
+
+
+def invert_rigid_batch(M: np.ndarray) -> np.ndarray:
+    """Inverse of a batch of rigid 4x4 transforms: [[R.T, -R.T t], [0, 1]]."""
+    R = M[..., :3, :3]
+    out = np.tile(np.eye(4), M.shape[:-2] + (1, 1))
+    Rt = np.swapaxes(R, -1, -2)
+    out[..., :3, :3] = Rt
+    out[..., :3, 3] = -np.einsum("...ij,...j->...i", Rt, M[..., :3, 3])
+    return out
+
+
 def wrap_angle(a):
     """Wrap angle(s) to (-pi, pi]."""
     return (np.asarray(a) + np.pi) % (2.0 * np.pi) - np.pi

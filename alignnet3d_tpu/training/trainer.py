@@ -269,6 +269,9 @@ class Trainer:
         self._jit_cache: dict = {}
         self._data_rng = np.random.default_rng(self.seed + 1)
         self._jit_rng = jax.random.PRNGKey(self.seed + 2)
+        from alignnet3d_tpu.data.residual import params_from_config
+
+        self._residual_params = params_from_config(cfg)
 
     # ------------------------------------------------------------- building
 
@@ -444,10 +447,18 @@ class Trainer:
     # ------------------------------------------------------------- epochs
 
     def _make_batch(self, indices, rng: np.random.Generator | None = None):
-        return self.dataset.sample_batch(
-            indices, self.spec.num_points,
-            self._data_rng if rng is None else rng,
+        rng = self._data_rng if rng is None else rng
+        batch = self.dataset.sample_batch(
+            indices, self.spec.num_points, rng,
         )
+        if self._residual_params is not None:
+            # residual-alignment task (data.residual_task): pre-align pc1
+            # by gt composed with a small sampled residual — trains a
+            # learned fine-aligner (data/residual.py)
+            from alignnet3d_tpu.data.residual import apply_residual_task
+
+            batch = apply_residual_task(batch, rng, **self._residual_params)
+        return batch
 
     def _epoch_rng(self, *tags) -> np.random.Generator:
         """Fresh child generator per epoch: (a) the prefetch worker thread

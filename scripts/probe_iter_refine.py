@@ -18,8 +18,15 @@ incremental world displacement at the object equals the raw predicted
 translation of the pass (M2 @ c2 = c2 + t2), so the gate needs no
 re-basing.
 
+With ``--refiner <run_dir_or_config.json> <epoch>``, iterations >= 2 use
+THAT checkpoint instead of the coarse model — the learned fine-aligner
+trained on the residual task (data/residual.py). The refiner must share
+the coarse model's architecture spec (same tp8 options) since only the
+weights are swapped.
+
 Usage: python scripts/probe_iter_refine.py <run_dir_or_config.json> <epoch>
            [n_iters] [gate_deg] [gate_xy]
+           [--refiner <run_dir_or_config.json> <epoch>]
 """
 
 import os
@@ -29,26 +36,30 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+from alignnet3d_tpu.geometry import get_mat_angle_batch as _mats_from
 
-def _mats_from(t, a, c):
-    """Vectorized get_mat_angle (geometry.py:77-93): rotate yaw a about
-    center c, then translate by t. (n,3),(n,),(n,3) -> (n,4,4)."""
-    n = len(a)
-    ca, sa = np.cos(a), np.sin(a)
-    M = np.tile(np.eye(4), (n, 1, 1))
-    M[:, 0, 0] = ca
-    M[:, 0, 1] = -sa
-    M[:, 1, 0] = sa
-    M[:, 1, 1] = ca
-    M[:, :3, 3] = c - np.einsum("nij,nj->ni", M[:, :3, :3], c) + t
-    return M
+
+def _resolve(cfg_path, epoch):
+    """(config path, checkpoint-dir-or-None) for a run dir or config."""
+    if os.path.isdir(cfg_path):
+        cfg_path = os.path.join(cfg_path, "config.json")
+    ckpt_dir = os.path.dirname(os.path.abspath(cfg_path))
+    if not os.path.exists(os.path.join(ckpt_dir, f"model-{epoch}.msgpack")):
+        ckpt_dir = None
+    return cfg_path, ckpt_dir
 
 
 def main():
-    cfg_path, epoch = sys.argv[1], int(sys.argv[2])
-    n_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    gate_deg = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
-    gate_xy = float(sys.argv[5]) if len(sys.argv) > 5 else 0.15
+    argv = list(sys.argv[1:])
+    refiner = None
+    if "--refiner" in argv:
+        i = argv.index("--refiner")
+        refiner = (argv[i + 1], int(argv[i + 2]))
+        argv = argv[:i] + argv[i + 3:]
+    cfg_path, epoch = argv[0], int(argv[1])
+    n_iters = int(argv[2]) if len(argv) > 2 else 3
+    gate_deg = float(argv[3]) if len(argv) > 3 else 2.0
+    gate_xy = float(argv[4]) if len(argv) > 4 else 0.15
 
     import jax
 
@@ -57,12 +68,8 @@ def main():
     from alignnet3d_tpu.ops.flip_resolve import apply_flip_resolution
     from alignnet3d_tpu.training.trainer import Trainer
 
-    if os.path.isdir(cfg_path):
-        cfg_path = os.path.join(cfg_path, "config.json")
+    cfg_path, ckpt_dir = _resolve(cfg_path, epoch)
     cfg = load_config(cfg_path)
-    ckpt_dir = os.path.dirname(os.path.abspath(cfg_path))
-    if not os.path.exists(os.path.join(ckpt_dir, f"model-{epoch}.msgpack")):
-        ckpt_dir = None
     trainer = Trainer(cfg, seed=0, use_mesh=False)
     state = trainer.init_state()
     state = trainer.restore_checkpoint(
@@ -70,6 +77,15 @@ def main():
         os.path.join(ckpt_dir or trainer.logdir, f"model-{epoch}.msgpack"),
     )
     eval_fn = trainer._get_jitted("eval")
+    refine_state = state
+    if refiner is not None:
+        rpath, rdir = _resolve(*refiner)
+        assert rdir is not None, f"no model-{refiner[1]} next to {rpath}"
+        refine_state = trainer.restore_checkpoint(
+            trainer.init_state(),
+            os.path.join(rdir, f"model-{refiner[1]}.msgpack"),
+        )
+        print(f"refiner: {rdir} epoch {refiner[1]}", flush=True)
 
     val_idxs = list(trainer.val_indices)
     n = len(val_idxs)
@@ -121,7 +137,7 @@ def main():
                     "bij,bnj->bni", Mb[:, :3, :3].astype(np.float32), pc1
                 ) + Mb[:, None, :3, 3].astype(np.float32)
                 batch = (pc1,) + tuple(batch[1:])
-            _, out = eval_fn(state, batch)
+            _, out = eval_fn(state if it == 0 else refine_state, batch)
             out = jax.device_get(out)
             a1 = class_logits_to_angle_np(
                 out["pred_pc1angle_logits"][:e - s], nb, residual_scale)

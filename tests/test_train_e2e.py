@@ -214,3 +214,36 @@ def test_voxel_resample_config_wiring(workspace):
     state = trainer.train_one_epoch(state, 0, writer)
     loss = trainer.eval_one_epoch(state, 0, eval_only=True)
     assert np.isfinite(loss)
+
+
+def test_residual_task_config_wiring(workspace):
+    """data.residual_task.enabled trains+evals an epoch on the residual-
+    alignment distribution through the full Trainer path (framework
+    addition, data/residual.py — the learned fine-aligner's training
+    task)."""
+    root, cfg_path, base = workspace
+    cfg = json.load(open(cfg_path))
+    cfg["data"]["residual_task"] = {
+        "enabled": True, "angle_std_deg": 2.0, "xy_std": 0.1,
+    }
+    res_cfg_path = str(root / "E2EResidual.json")
+    json.dump(cfg, open(res_cfg_path, "w"))
+    from alignnet3d_tpu.config import load_config
+    from alignnet3d_tpu.training import Trainer
+
+    c = load_config(res_cfg_path)
+    trainer = Trainer(c, seed=0)
+    assert trainer._residual_params is not None
+    assert trainer._residual_params["xy_std"] == 0.1
+    # the rewritten batch must be near-aligned: rel angles tiny vs the
+    # uniform pose distribution of the underlying dataset
+    batch = trainer._make_batch(list(trainer.val_indices)[:8],
+                                rng=np.random.default_rng(0))
+    assert np.abs(np.degrees(np.asarray(batch[3]))).mean() < 30.0
+    from alignnet3d_tpu.training.trainer import ScalarWriter
+
+    state = trainer.init_state()
+    writer = ScalarWriter(str(root / "residual_train_scalars.jsonl"))
+    state = trainer.train_one_epoch(state, 0, writer)
+    loss = trainer.eval_one_epoch(state, 0, eval_only=True)
+    assert np.isfinite(loss)
