@@ -33,7 +33,11 @@ import time
 import numpy as np
 
 N_ITERS = 50
-BATCH = 1024
+# B=4096 saturates the chip ~8.7% better than 1024 (round-3 probe,
+# scripts/bench_probe.py: 203.1k -> 220.8k pairs/s; the BN-folded
+# serving path is within noise of model.apply at this size, so the
+# honest flax path stays)
+BATCH = 4096
 
 
 def _stop_training_chains():
