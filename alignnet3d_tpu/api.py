@@ -136,17 +136,14 @@ class Aligner:
             out[lens == 0] = 0.0
         return np.ascontiguousarray(out, np.float32)
 
-    def align(self, pcs1: Sequence[np.ndarray], pcs2: Sequence[np.ndarray],
-              refine_icp: bool = False, icp_its: int = 30,
-              icp_radius: float = 0.1, resolve_flips: bool = False):
-        """Align pairs of raw clouds. Returns dict with ``translations``
-        (N, 3), ``angles`` (N,), ``centers`` (N, 3) and ``transforms``
-        (N, 4, 4). ``resolve_flips`` settles the 180-degree yaw ambiguity
-        of accept_inverted_angle models by on-device chamfer comparison."""
-        assert len(pcs1) == len(pcs2)
+    def _predict(self, pcs1, pcs2, resolve_flips: bool,
+                 variables=None):
+        """One forward sweep over all pairs: resample, batch, decode.
+        Returns (translations (N,3), angles (N,), centers (N,3))."""
         n = len(pcs1)
         nb = self.spec.num_bins
         bs = self.batch_size
+        variables = self.variables if variables is None else variables
         translations = np.empty((n, 3), np.float32)
         angles = np.empty(n, np.float32)
         centers = np.empty((n, 3), np.float32)
@@ -160,7 +157,7 @@ class Aligner:
                 a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
                 b = np.concatenate([b, np.repeat(b[-1:], pad, 0)])
             out = jax.device_get(
-                self._forward(self.variables, jnp.asarray(a), jnp.asarray(b))
+                self._forward(variables, jnp.asarray(a), jnp.asarray(b))
             )
             k = e - s
             ang1 = class_logits_to_angle_np(
@@ -186,6 +183,59 @@ class Aligner:
                 )
             angles[s:e] = composed
             centers[s:e] = out["pred_s2_pc1centers"][:k]
+        return translations, angles, centers
+
+    def align(self, pcs1: Sequence[np.ndarray], pcs2: Sequence[np.ndarray],
+              refine_icp: bool = False, icp_its: int = 30,
+              icp_radius: float = 0.1, resolve_flips: bool = False,
+              network_refine: bool = False,
+              refine_gate: tuple = (2.0, 0.15),
+              refine_variables=None):
+        """Align pairs of raw clouds. Returns dict with ``translations``
+        (N, 3), ``angles`` (N,), ``centers`` (N, 3) and ``transforms``
+        (N, 4, 4). ``resolve_flips`` settles the 180-degree yaw ambiguity
+        of accept_inverted_angle models by on-device chamfer comparison.
+
+        ``network_refine`` runs a SECOND forward pass on the coarsely
+        aligned pair and composes the correction, accepted per pair only
+        inside the ``refine_gate`` trust region (max |dyaw| deg,
+        max |dxy| m) — strictly better than one pass on every accuracy
+        bucket (docs/RESULTS.md "Iterative network refinement"; mirrors
+        the eval path's evaluation.network_refine).
+        ``refine_variables`` optionally swaps in a residual-task
+        fine-aligner's weights (data/residual.py) for the second pass.
+        ICP refinement stacks on top when both are requested."""
+        assert len(pcs1) == len(pcs2)
+        n = len(pcs1)
+        translations, angles, centers = self._predict(
+            pcs1, pcs2, resolve_flips
+        )
+
+        if network_refine and n:
+            from alignnet3d_tpu.geometry import (
+                get_mat_angle_batch,
+                transform_points,
+            )
+
+            M1 = get_mat_angle_batch(translations, angles, centers)
+            pcs1_t = [
+                transform_points(np.asarray(p, np.float32)[:, :3], M1[i])
+                if len(p) else p
+                for i, p in enumerate(pcs1)
+            ]
+            t2, a2, c2 = self._predict(
+                pcs1_t, pcs2, resolve_flips, variables=refine_variables
+            )
+            dM = get_mat_angle_batch(t2, a2, c2)
+            M = np.einsum("nij,njk->nik", dM, M1)
+            da = (a2 + np.pi / 2) % np.pi - np.pi / 2
+            ok = (np.abs(np.degrees(da)) <= refine_gate[0]) & (
+                np.linalg.norm(t2[:, :2], axis=1) <= refine_gate[1]
+            )
+            M = np.where(ok[:, None, None], M, M1)
+            translations = M[:, :3, 3].astype(np.float32)
+            angles = np.arctan2(M[:, 1, 0], M[:, 0, 0]).astype(np.float32)
+            centers = np.zeros_like(centers)
 
         if refine_icp:
             from alignnet3d_tpu.icp.p2point import icp_p2point_batch

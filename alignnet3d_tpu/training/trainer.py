@@ -478,6 +478,103 @@ class Trainer:
         self._jit_rng, sub = jax.random.split(self._jit_rng)
         return sub
 
+    def _network_refine_pass(self, state, eval_fn, P, val_idxs,
+                             batch_size, residual_scale, net_ref):
+        """Second forward pass on the coarsely aligned pair
+        (evaluation.network_refine): transform pc1 by the first pass's
+        composed transform, re-predict, compose dM @ M1, and accept the
+        update per pair only inside a trust region (|da| <= gate
+        max_dyaw_deg, |dxy| <= max_dxy) — an out-of-basin second pass
+        must not throw away a good init (same rationale as the ICP
+        gate, icp/p2point.py:248-261).
+
+        Rewrites P's final transform in world frame (rotation center
+        zero, like ICP refinement — reference train.py:483-484); the
+        s1/s2 diagnostic arrays keep the FIRST pass's values. Optional
+        ``weights`` key: a checkpoint path (no .msgpack suffix, like
+        training.pretraining.model) of a residual-task fine-aligner
+        (data/residual.py) to use for the second pass.
+        """
+        from alignnet3d_tpu.geometry import get_mat_angle_batch
+        from alignnet3d_tpu.ops.flip_resolve import apply_flip_resolution
+
+        n = len(val_idxs)
+        nb = self.spec.num_bins
+        gate = net_ref.gate if net_ref.has("gate") else None
+        gate_deg = (gate.max_dyaw_deg
+                    if gate is not None and gate.has("max_dyaw_deg")
+                    else 2.0)
+        gate_xy = (gate.max_dxy
+                   if gate is not None and gate.has("max_dxy") else 0.15)
+        refine_state = state
+        if net_ref.has("weights") and net_ref.weights:
+            refine_state = self.restore_checkpoint(
+                self.init_state(), net_ref.weights + ".msgpack"
+            )
+        M1 = get_mat_angle_batch(
+            P["pred_translations"], P["pred_angles"][:, 0],
+            P["pred_s2_pc1centers"],
+        )
+        rng = self._epoch_rng(2, 1)  # distinct fixed stream from pass 1
+        t2 = np.empty((n, 3), np.float32)
+        a2 = np.empty(n, np.float64)
+        c2 = np.empty((n, 3), np.float32)
+        num_batches = int(np.ceil(n / batch_size))
+        for bi in range(num_batches):
+            s, e = bi * batch_size, min((bi + 1) * batch_size, n)
+            take = val_idxs[s:e] + [val_idxs[0]] * (batch_size - (e - s))
+            batch = self._make_batch(take, rng=rng)
+            pc1 = np.asarray(batch[0])
+            Mb = M1[s:e]
+            if len(pc1) > e - s:
+                Mb = np.concatenate(
+                    [Mb, np.tile(np.eye(4), (len(pc1) - (e - s), 1, 1))]
+                )
+            pc1 = (np.einsum("bij,bnj->bni",
+                             Mb[:, :3, :3].astype(np.float32), pc1)
+                   + Mb[:, None, :3, 3].astype(np.float32))
+            # empty clouds stay zero (reference provider.py:95-96)
+            empty = ~np.any(np.asarray(batch[0]) != 0.0, axis=(1, 2))
+            pc1[empty] = 0.0
+            _, out = eval_fn(refine_state,
+                             (pc1.astype(np.float32),) + tuple(batch[1:]))
+            out = jax.device_get(out)
+            a_1 = class_logits_to_angle_np(
+                out["pred_pc1angle_logits"][:e - s], nb, residual_scale)
+            a_2 = class_logits_to_angle_np(
+                out["pred_pc2angle_logits"][:e - s], nb, residual_scale)
+            a_r = class_logits_to_angle_np(
+                out["pred_remaining_angle_logits"][:e - s], nb,
+                residual_scale)
+            composed = a_2 - a_1 + a_r
+            composed, _ = apply_flip_resolution(
+                pc1[:e - s], batch[1][:e - s],
+                out["pred_translations"][:e - s], composed,
+                out["pred_s2_pc1centers"][:e - s],
+            )
+            t2[s:e] = out["pred_translations"][:e - s]
+            a2[s:e] = composed
+            c2[s:e] = out["pred_s2_pc1centers"][:e - s]
+        dM = get_mat_angle_batch(t2, a2, c2)
+        M = np.einsum("nij,njk->nik", dM, M1)
+        # trust region: the incremental displacement AT the object equals
+        # the raw pass-2 translation (dM @ c2 = c2 + t2)
+        da = (a2 + np.pi / 2) % np.pi - np.pi / 2
+        ok = (np.abs(np.degrees(da)) <= gate_deg) & (
+            np.linalg.norm(t2[:, :2], axis=1) <= gate_xy
+        )
+        M = np.where(ok[:, None, None], M, M1)
+        logger.info(
+            f"network refine: accepted {int(ok.sum())}/{n} "
+            f"(gate {gate_deg} deg / {gate_xy} m)"
+        )
+        P["pred_translations"] = M[:, :3, 3].astype(np.float32)
+        P["pred_angles"] = np.arctan2(
+            M[:, 1, 0], M[:, 0, 0]
+        ).astype(np.float32).reshape(n, 1)
+        P["pred_s2_pc1centers"] = np.zeros((n, 3), np.float32)
+        return P
+
     def train_one_epoch(self, state: TrainState, epoch: int,
                         writer: ScalarWriter):
         """Shuffled drop-remainder epoch (reference train.py:335-383).
@@ -753,6 +850,28 @@ class Trainer:
             # process-0-only; the collective (jitted eval) work above
             # already happened on every process
             return loss_sum / num_full_batches if num_full_batches else 0.0
+
+        net_ref = (cfg.evaluation.network_refine
+                   if cfg.evaluation.has("network_refine") else None)
+        if (net_ref is not None and net_ref.enabled and not use_old_results
+                and not do_timings):
+            # framework addition: second network pass on the coarsely
+            # aligned pair (evaluation.network_refine; no reference
+            # analogue — its only refinement is ICP, train.py:461-484).
+            # Measured strictly better than one pass on every bucket
+            # (docs/RESULTS.md "Iterative network refinement").
+            # Single-process only: the pass is a collective forward, but
+            # it consumes main-process-only flip-resolved predictions.
+            assert self.num_processes == 1, (
+                "evaluation.network_refine is single-process (pod eval "
+                "runs the coarse pass everywhere; refine after gather)"
+            )
+            t0 = time.time()
+            P = self._network_refine_pass(
+                state, eval_fn, P, val_idxs, batch_size, residual_scale,
+                net_ref,
+            )
+            cumulated_times += time.time() - t0
 
         if refine_icp:
             from alignnet3d_tpu.icp import refine_predictions

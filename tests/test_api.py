@@ -149,3 +149,46 @@ def test_voxel_resample_config_pickup(trained):
     # explicit kwarg wins over the config
     aligner2 = Aligner.from_checkpoint(vox_cfg, ckpt, voxel_resample=None)
     assert aligner2.voxel_resample is None
+
+
+def test_network_refine_gate_zero_is_identity(trained, rng):
+    """With an impossible trust region nothing is accepted: the refined
+    TRANSFORMS equal the plain ones (re-expressed world-frame, so t/a
+    fields differ but the rigid maps must match)."""
+    from alignnet3d_tpu.api import Aligner
+
+    config_path, ckpt, base = trained
+    pcs1 = [np.load(f"{base}/pointcloud1/{i:08d}.npy") for i in range(5)]
+    pcs2 = [np.load(f"{base}/pointcloud2/{i:08d}.npy") for i in range(5)]
+    # fresh Aligner per call: the resample RNG is stateful, so pass 1
+    # only reproduces from an identical seed position
+    plain = Aligner.from_checkpoint(config_path, ckpt,
+                                    batch_size=4).align(pcs1, pcs2)
+    refined = Aligner.from_checkpoint(config_path, ckpt, batch_size=4).align(
+        pcs1, pcs2, network_refine=True, refine_gate=(0.0, 0.0))
+    np.testing.assert_allclose(
+        refined["transforms"], plain["transforms"], atol=1e-5
+    )
+    assert np.all(refined["centers"] == 0.0)
+
+
+def test_network_refine_composes_rigid(trained, rng):
+    """Open gate: the composed second-pass transforms stay rigid
+    (orthonormal yaw-only rotations) and finite."""
+    from alignnet3d_tpu.api import Aligner
+
+    config_path, ckpt, base = trained
+    aligner = Aligner.from_checkpoint(config_path, ckpt, batch_size=4)
+    pcs1 = [np.load(f"{base}/pointcloud1/{i:08d}.npy") for i in range(5)]
+    pcs2 = [np.load(f"{base}/pointcloud2/{i:08d}.npy") for i in range(5)]
+    out = aligner.align(pcs1, pcs2, network_refine=True,
+                        refine_gate=(180.0, 1e9))
+    M = out["transforms"]
+    assert np.all(np.isfinite(M))
+    R = M[:, :3, :3]
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(M), 1, 1)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+    # z-axis preserved (yaw-only constraint survives composition)
+    np.testing.assert_allclose(R[:, 2, 2], 1.0, atol=1e-6)

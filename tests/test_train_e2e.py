@@ -247,3 +247,29 @@ def test_residual_task_config_wiring(workspace):
     state = trainer.train_one_epoch(state, 0, writer)
     loss = trainer.eval_one_epoch(state, 0, eval_only=True)
     assert np.isfinite(loss)
+
+
+def test_network_refine_eval_wiring(workspace):
+    """evaluation.network_refine runs a gated second forward pass and
+    rewrites predictions in world frame (rotation center zero, like ICP
+    refinement — framework addition, trainer._network_refine_pass)."""
+    root, cfg_path, base = workspace
+    cfg = json.load(open(cfg_path))
+    cfg["evaluation"]["network_refine"] = {
+        "enabled": True,
+        "gate": {"max_dyaw_deg": 180.0, "max_dxy": 1000.0},
+    }
+    ref_cfg_path = str(root / "E2ENetRefine.json")
+    json.dump(cfg, open(ref_cfg_path, "w"))
+    from alignnet3d_tpu.config import load_config
+    from alignnet3d_tpu.training import Trainer
+
+    c = load_config(ref_cfg_path)
+    trainer = Trainer(c, seed=0)
+    state = trainer.init_state()
+    loss = trainer.eval_one_epoch(state, 0, eval_only=True)
+    assert np.isfinite(loss)
+    ed = str(root / "runs" / "E2ENetRefine" / "val" / "eval000000")
+    centers = np.load(f"{ed}/pred_s2_pc1centers.npy")
+    assert np.all(centers == 0.0)  # world-frame rewrite happened
+    assert os.path.isfile(f"{ed}/eval_180.json")
