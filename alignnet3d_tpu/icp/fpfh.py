@@ -230,9 +230,16 @@ def ransac_registration(src, src_mask, dst, dst_mask, src_feat, dst_feat,
         b = jnp.argmax(s)
         return s[b], r[b], tt[b]
 
-    if num_hypotheses > chunk and num_hypotheses % chunk == 0:
+    if num_hypotheses > chunk:
+        # pad up to a chunk multiple (extra hypotheses are harmless under
+        # the best-of reduction) so odd K never falls back to the flat
+        # vmap and its HBM blow-up
+        n_chunks = -(-num_hypotheses // chunk)
+        pad = n_chunks * chunk - num_hypotheses
+        if pad:
+            keys = jnp.concatenate([keys, keys[:pad]])
         scores, Rs, ts = jax.lax.map(
-            eval_chunk, keys.reshape(num_hypotheses // chunk, chunk, 2)
+            eval_chunk, keys.reshape(n_chunks, chunk, 2)
         )
     else:
         scores, Rs, ts = jax.vmap(hypothesis)(keys)

@@ -479,7 +479,8 @@ class Trainer:
         return sub
 
     def _network_refine_pass(self, state, eval_fn, P, val_idxs,
-                             batch_size, residual_scale, net_ref):
+                             batch_size, residual_scale, net_ref,
+                             resolve_flips: bool = True):
         """Second forward pass on the coarsely aligned pair
         (evaluation.network_refine): transform pc1 by the first pass's
         composed transform, re-predict, compose dM @ M1, and accept the
@@ -506,11 +507,25 @@ class Trainer:
                     else 2.0)
         gate_xy = (gate.max_dxy
                    if gate is not None and gate.has("max_dxy") else 0.15)
+        # the residual-task rewrite must not be re-applied to the refine
+        # batches (it would compose a SECOND random pre-alignment on top
+        # of M1); network_refine composes its own
+        assert self._residual_params is None, (
+            "evaluation.network_refine and data.residual_task are "
+            "mutually exclusive in one config — point network_refine at "
+            "the residual-trained weights instead (weights key)"
+        )
         refine_state = state
         if net_ref.has("weights") and net_ref.weights:
-            refine_state = self.restore_checkpoint(
-                self.init_state(), net_ref.weights + ".msgpack"
-            )
+            # cache: during training this pass runs every eval epoch
+            cached = getattr(self, "_refine_state_cache", None)
+            if cached is not None and cached[0] == net_ref.weights:
+                refine_state = cached[1]
+            else:
+                refine_state = self.restore_checkpoint(
+                    self.init_state(), net_ref.weights + ".msgpack"
+                )
+                self._refine_state_cache = (net_ref.weights, refine_state)
         M1 = get_mat_angle_batch(
             P["pred_translations"], P["pred_angles"][:, 0],
             P["pred_s2_pc1centers"],
@@ -547,11 +562,15 @@ class Trainer:
                 out["pred_remaining_angle_logits"][:e - s], nb,
                 residual_scale)
             composed = a_2 - a_1 + a_r
-            composed, _ = apply_flip_resolution(
-                pc1[:e - s], batch[1][:e - s],
-                out["pred_translations"][:e - s], composed,
-                out["pred_s2_pc1centers"][:e - s],
-            )
+            if resolve_flips:
+                # same decode policy as pass 1 (cfg.evaluation.
+                # resolve_flips) — mixing policies would let the mod-pi
+                # gate accept pi-sized "corrections"
+                composed, _ = apply_flip_resolution(
+                    pc1[:e - s], batch[1][:e - s],
+                    out["pred_translations"][:e - s], composed,
+                    out["pred_s2_pc1centers"][:e - s],
+                )
             t2[s:e] = out["pred_translations"][:e - s]
             a2[s:e] = composed
             c2[s:e] = out["pred_s2_pc1centers"][:e - s]
@@ -869,7 +888,7 @@ class Trainer:
             t0 = time.time()
             P = self._network_refine_pass(
                 state, eval_fn, P, val_idxs, batch_size, residual_scale,
-                net_ref,
+                net_ref, resolve_flips=do_resolve_flips,
             )
             cumulated_times += time.time() - t0
 

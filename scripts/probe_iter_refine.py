@@ -118,9 +118,10 @@ def main():
     M = None          # composed transform so far, (n,4,4)
     M_gated = None    # same but with per-iteration trust-region gating
     for it in range(n_iters):
-        # FIXED eval stream per pass (same determinism contract as
-        # trainer._eval_epoch, trainer.py:600-604)
-        rng = trainer._epoch_rng(2, it)
+        # FIXED eval stream per pass; pass 1 uses trainer._eval_epoch's
+        # exact stream (_epoch_rng(2)) so the baseline row is
+        # bit-comparable to the run's own eval artifacts
+        rng = trainer._epoch_rng(2) if it == 0 else trainer._epoch_rng(2, it)
         t_all = np.empty((n, 3), np.float32)
         a_all = np.empty(n, np.float64)
         c_all = np.empty((n, 3), np.float32)
@@ -133,9 +134,13 @@ def main():
                 Mb = M[s:e]
                 pad = np.tile(np.eye(4), (len(pc1) - (e - s), 1, 1))
                 Mb = np.concatenate([Mb, pad]) if len(pad) else Mb
+                raw = pc1
                 pc1 = np.einsum(
                     "bij,bnj->bni", Mb[:, :3, :3].astype(np.float32), pc1
                 ) + Mb[:, None, :3, 3].astype(np.float32)
+                # empty clouds stay zero (reference provider.py:95-96 —
+                # parity with trainer._network_refine_pass)
+                pc1[~np.any(raw != 0.0, axis=(1, 2))] = 0.0
                 batch = (pc1,) + tuple(batch[1:])
             _, out = eval_fn(state if it == 0 else refine_state, batch)
             out = jax.device_get(out)
@@ -158,28 +163,26 @@ def main():
         dM = _mats_from(t_all, a_all, c_all)
         if it == 0:
             M = dM
-            M_gated = dM.copy()
             score("iter 1", M)
         else:
-            M = np.einsum("nij,njk->nik", dM, M)
+            prev = M
+            M = np.einsum("nij,njk->nik", dM, prev)
             score(f"iter {it + 1} raw", M)
             # gate: wrap the incremental yaw to the nearest mod-pi branch
             # (flip resolution already picked the branch; near-aligned
-            # increments should be tiny)
+            # increments should be tiny). Only valid at iter 2: deeper
+            # iterations' dM are measured in the RAW chain's frame, so a
+            # gated chain would compose increments from a mismatched
+            # frame once any pair rejects (round-3 review finding).
             da = (a_all + np.pi / 2) % np.pi - np.pi / 2
             ok = (np.abs(np.degrees(da)) <= gate_deg) & (
                 np.linalg.norm(t_all[:, :2], axis=1) <= gate_xy
             )
-            M_gated = np.where(
-                ok[:, None, None],
-                np.einsum("nij,njk->nik", dM, M_gated), M_gated,
-            )
-            score(
-                f"iter {it + 1} gated", M_gated,
-            )
+            if it == 1:
+                M_gated = np.where(ok[:, None, None], M, prev)
+                score(f"iter {it + 1} gated", M_gated)
             print(f"  gate accepted {int(ok.sum())}/{n} "
                   f"(|da|<={gate_deg}deg, |dxy|<={gate_xy}m)", flush=True)
-            # raw path continues from raw; gated path from gated
 
 
 if __name__ == "__main__":

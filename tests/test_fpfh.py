@@ -225,3 +225,22 @@ def test_ransac_hypothesis_chunking_equivalent(rng):
         assert abs(yaw - 0.6) < 1e-3, (k, yaw)
         assert np.allclose(t, [1.0, 2.0, 0.1], atol=1e-3), (k, t)
         assert fit > 0.99, (k, fit)
+
+
+def test_ransac_odd_hypothesis_count_chunks(rng):
+    """K > 2048 that is NOT a chunk multiple must still take the padded
+    lax.map path (review finding: the old exact-multiple condition fell
+    back to the flat vmap and its HBM blow-up) and recover the pose."""
+    import jax
+
+    src = _L_cloud(rng, n=128)
+    gt = get_mat_angle([0.5, -1.0, 0.0], -0.8)
+    dst = transform_points(src, gt).astype(np.float32)
+    m = np.ones(len(src), bool)
+    feat = rng.normal(size=(len(src), 8)).astype(np.float32)
+    R, t, fit, _ = fpfh.ransac_registration(
+        src, m, dst, m, feat, feat, jax.random.PRNGKey(1), 0.1,
+        num_hypotheses=3000)
+    yaw = np.arctan2(np.asarray(R)[1, 0], np.asarray(R)[0, 0])
+    assert abs(yaw - (-0.8)) < 1e-3
+    assert float(fit) > 0.99
