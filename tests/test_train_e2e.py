@@ -273,3 +273,23 @@ def test_network_refine_eval_wiring(workspace):
     centers = np.load(f"{ed}/pred_s2_pc1centers.npy")
     assert np.all(centers == 0.0)  # world-frame rewrite happened
     assert os.path.isfile(f"{ed}/eval_180.json")
+
+
+def test_network_refine_rejects_residual_task(workspace):
+    """data.residual_task and evaluation.network_refine in one config is
+    silent-corruption territory (the refine pass would compose a second
+    random pre-alignment) — the trainer must refuse (review finding)."""
+    root, cfg_path, base = workspace
+    cfg = json.load(open(cfg_path))
+    cfg["data"]["residual_task"] = {"enabled": True}
+    cfg["evaluation"]["network_refine"] = {"enabled": True}
+    bad_cfg_path = str(root / "E2EBadCombo.json")
+    json.dump(cfg, open(bad_cfg_path, "w"))
+    from alignnet3d_tpu.config import load_config
+    from alignnet3d_tpu.training import Trainer
+
+    c = load_config(bad_cfg_path)
+    trainer = Trainer(c, seed=0)
+    state = trainer.init_state()
+    with pytest.raises(AssertionError, match="mutually exclusive"):
+        trainer.eval_one_epoch(state, 0, eval_only=True)
