@@ -50,9 +50,28 @@ class Aligner:
         self.voxel_resample = voxel_resample
         self._rng = np.random.default_rng(seed)
         model = AlignNet(spec)
+        self._model = model
+        # weights are CLOSURE-CAPTURED compile-time constants: XLA folds
+        # BN into the convs and bakes layouts — argument-passed weights
+        # cost 38% at large batch (DESIGN.md §9)
         self._forward = jax.jit(
-            lambda v, a, b: model.apply(v, a, b, train=False)
+            lambda a, b: model.apply(variables, a, b, train=False)
         )
+        self._alt_forwards: dict = {}
+
+    def _forward_for(self, variables):
+        """Compiled forward for an alternate weight set (e.g. a residual
+        refiner), cached per object identity — each gets its own
+        closure-captured executable (DESIGN.md §9)."""
+        if variables is None:
+            return self._forward
+        key = id(variables)
+        if key not in self._alt_forwards:
+            model = self._model
+            self._alt_forwards[key] = jax.jit(
+                lambda a, b: model.apply(variables, a, b, train=False)
+            )
+        return self._alt_forwards[key]
 
     @classmethod
     def from_checkpoint(cls, config_path: str, checkpoint_path: str,
@@ -143,7 +162,7 @@ class Aligner:
         n = len(pcs1)
         nb = self.spec.num_bins
         bs = self.batch_size
-        variables = self.variables if variables is None else variables
+        forward = self._forward_for(variables)
         translations = np.empty((n, 3), np.float32)
         angles = np.empty(n, np.float32)
         centers = np.empty((n, 3), np.float32)
@@ -157,7 +176,7 @@ class Aligner:
                 a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
                 b = np.concatenate([b, np.repeat(b[-1:], pad, 0)])
             out = jax.device_get(
-                self._forward(variables, jnp.asarray(a), jnp.asarray(b))
+                forward(jnp.asarray(a), jnp.asarray(b))
             )
             k = e - s
             ang1 = class_logits_to_angle_np(
