@@ -33,11 +33,12 @@ import time
 import numpy as np
 
 N_ITERS = 50
-# B=4096 saturates the chip ~8.7% better than 1024 (round-3 probe,
-# scripts/bench_probe.py: 203.1k -> 220.8k pairs/s; the BN-folded
-# serving path is within noise of model.apply at this size, so the
-# honest flax path stays)
-BATCH = 4096
+# Batch sweep (round 3, closure-captured weights): 1024 -> 193k,
+# 4096 -> 221.5k, 8192 -> 237.5k, 16384 -> 233k pairs/s; 8192 is the
+# sweet spot (131 TFLOP/s, 66% of v5e bf16 peak by compiled
+# cost_analysis). The BN-folded serving path is within noise of
+# model.apply at these sizes, so the honest flax path stays.
+BATCH = 8192
 
 
 def _stop_training_chains():
