@@ -232,6 +232,7 @@ class Aligner:
 
         if network_refine and n:
             from alignnet3d_tpu.geometry import (
+                compose_gated_refinement,
                 get_mat_angle_batch,
                 transform_points,
             )
@@ -245,13 +246,9 @@ class Aligner:
             t2, a2, c2 = self._predict(
                 pcs1_t, pcs2, resolve_flips, variables=refine_variables
             )
-            dM = get_mat_angle_batch(t2, a2, c2)
-            M = np.einsum("nij,njk->nik", dM, M1)
-            da = (a2 + np.pi / 2) % np.pi - np.pi / 2
-            ok = (np.abs(np.degrees(da)) <= refine_gate[0]) & (
-                np.linalg.norm(t2[:, :2], axis=1) <= refine_gate[1]
+            M, _ = compose_gated_refinement(
+                M1, t2, a2, c2, refine_gate[0], refine_gate[1]
             )
-            M = np.where(ok[:, None, None], M, M1)
             translations = M[:, :3, 3].astype(np.float32)
             angles = np.arctan2(M[:, 1, 0], M[:, 0, 0]).astype(np.float32)
             centers = np.zeros_like(centers)

@@ -40,6 +40,7 @@ import numpy as np
 from alignnet3d_tpu.geometry import (
     get_mat_angle_batch,
     invert_rigid_batch,
+    rotation_matrix_z,
 )
 
 DEFAULTS = dict(
@@ -112,8 +113,7 @@ def apply_residual_task(batch, rng: np.random.Generator, *,
     new_a1 = np.asarray(a1, np.float64).reshape(b) + yaw_M
     # translation label re-based to the moved center: T' = dT, so
     # t' = dT[:3,3] - (c1' - Rz(da) c1')
-    Rda = get_mat_angle_batch(np.zeros((b, 3)), da,
-                              np.zeros((b, 3)))[:, :3, :3]
+    Rda = rotation_matrix_z(da)
     new_t = dT[:, :3, 3] - new_c1 + np.einsum("nij,nj->ni", Rda, new_c1)
 
     f32 = np.float32

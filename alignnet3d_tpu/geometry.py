@@ -125,6 +125,33 @@ def invert_rigid_batch(M: np.ndarray) -> np.ndarray:
     return out
 
 
+def compose_gated_refinement(M1, t2, a2, c2, gate_deg: float,
+                             gate_xy: float):
+    """Trust-gated composition of a refinement pass onto coarse
+    transforms M1 (n,4,4): build dM from the pass's raw predictions
+    (t2, a2, c2), compose dM @ M1, and accept per pair only inside the
+    trust region |da| <= gate_deg (nearest mod-pi branch — flip
+    resolution already picked the branch) and |dxy| <= gate_xy. The
+    incremental world displacement AT the object equals the raw pass
+    translation (dM @ c2 = c2 + t2), so the gate needs no re-basing.
+
+    Single implementation shared by the eval path
+    (trainer._network_refine_pass), the serving path (api.Aligner.align)
+    and the probe (scripts/probe_iter_refine.py) — these diverged once
+    (flip-policy review finding) when each carried its own copy.
+    Returns (M (n,4,4), accepted (n,) bool).
+    """
+    a2 = np.asarray(a2, np.float64).reshape(-1)
+    t2 = np.asarray(t2, np.float64).reshape(-1, 3)
+    dM = get_mat_angle_batch(t2, a2, c2)
+    M = np.einsum("nij,njk->nik", dM, M1)
+    da = (a2 + np.pi / 2) % np.pi - np.pi / 2
+    ok = (np.abs(np.degrees(da)) <= gate_deg) & (
+        np.linalg.norm(t2[:, :2], axis=1) <= gate_xy
+    )
+    return np.where(ok[:, None, None], M, M1), ok
+
+
 def wrap_angle(a):
     """Wrap angle(s) to (-pi, pi]."""
     return (np.asarray(a) + np.pi) % (2.0 * np.pi) - np.pi

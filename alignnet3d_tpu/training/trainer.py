@@ -496,7 +496,10 @@ class Trainer:
         training.pretraining.model) of a residual-task fine-aligner
         (data/residual.py) to use for the second pass.
         """
-        from alignnet3d_tpu.geometry import get_mat_angle_batch
+        from alignnet3d_tpu.geometry import (
+            compose_gated_refinement,
+            get_mat_angle_batch,
+        )
         from alignnet3d_tpu.ops.flip_resolve import apply_flip_resolution
 
         n = len(val_idxs)
@@ -574,15 +577,7 @@ class Trainer:
             t2[s:e] = out["pred_translations"][:e - s]
             a2[s:e] = composed
             c2[s:e] = out["pred_s2_pc1centers"][:e - s]
-        dM = get_mat_angle_batch(t2, a2, c2)
-        M = np.einsum("nij,njk->nik", dM, M1)
-        # trust region: the incremental displacement AT the object equals
-        # the raw pass-2 translation (dM @ c2 = c2 + t2)
-        da = (a2 + np.pi / 2) % np.pi - np.pi / 2
-        ok = (np.abs(np.degrees(da)) <= gate_deg) & (
-            np.linalg.norm(t2[:, :2], axis=1) <= gate_xy
-        )
-        M = np.where(ok[:, None, None], M, M1)
+        M, ok = compose_gated_refinement(M1, t2, a2, c2, gate_deg, gate_xy)
         logger.info(
             f"network refine: accepted {int(ok.sum())}/{n} "
             f"(gate {gate_deg} deg / {gate_xy} m)"

@@ -36,17 +36,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-from alignnet3d_tpu.geometry import get_mat_angle_batch as _mats_from
-
-
-def _resolve(cfg_path, epoch):
-    """(config path, checkpoint-dir-or-None) for a run dir or config."""
-    if os.path.isdir(cfg_path):
-        cfg_path = os.path.join(cfg_path, "config.json")
-    ckpt_dir = os.path.dirname(os.path.abspath(cfg_path))
-    if not os.path.exists(os.path.join(ckpt_dir, f"model-{epoch}.msgpack")):
-        ckpt_dir = None
-    return cfg_path, ckpt_dir
+from alignnet3d_tpu.geometry import (
+    compose_gated_refinement,
+    get_mat_angle_batch as _mats_from,
+)
+from alignnet3d_tpu.utils.runs import resolve_run_checkpoint as _resolve
 
 
 def main():
@@ -115,8 +109,7 @@ def main():
               flush=True)
 
     num_batches = int(np.ceil(n / bs))
-    M = None          # composed transform so far, (n,4,4)
-    M_gated = None    # same but with per-iteration trust-region gating
+    M = None  # composed transform so far, (n,4,4)
     for it in range(n_iters):
         # FIXED eval stream per pass; pass 1 uses trainer._eval_epoch's
         # exact stream (_epoch_rng(2)) so the baseline row is
@@ -160,26 +153,25 @@ def main():
             t_all[s:e] = out["pred_translations"][:e - s]
             a_all[s:e] = composed
             c_all[s:e] = out["pred_s2_pc1centers"][:e - s]
-        dM = _mats_from(t_all, a_all, c_all)
         if it == 0:
-            M = dM
+            M = _mats_from(t_all, a_all, c_all)
             score("iter 1", M)
         else:
             prev = M
-            M = np.einsum("nij,njk->nik", dM, prev)
-            score(f"iter {it + 1} raw", M)
-            # gate: wrap the incremental yaw to the nearest mod-pi branch
-            # (flip resolution already picked the branch; near-aligned
-            # increments should be tiny). Only valid at iter 2: deeper
-            # iterations' dM are measured in the RAW chain's frame, so a
-            # gated chain would compose increments from a mismatched
-            # frame once any pair rejects (round-3 review finding).
-            da = (a_all + np.pi / 2) % np.pi - np.pi / 2
-            ok = (np.abs(np.degrees(da)) <= gate_deg) & (
-                np.linalg.norm(t_all[:, :2], axis=1) <= gate_xy
+            # gated composition shared with the eval/serving paths
+            # (geometry.compose_gated_refinement). The gated score is
+            # only valid at iter 2: deeper iterations' increments are
+            # measured in the RAW chain's frame, so a gated chain would
+            # compose from a mismatched frame once any pair rejects
+            # (round-3 review finding).
+            M_gated, ok = compose_gated_refinement(
+                prev, t_all, a_all, c_all, gate_deg, gate_xy
             )
+            M = np.einsum(
+                "nij,njk->nik", _mats_from(t_all, a_all, c_all), prev
+            )
+            score(f"iter {it + 1} raw", M)
             if it == 1:
-                M_gated = np.where(ok[:, None, None], M, prev)
                 score(f"iter {it + 1} gated", M_gated)
             print(f"  gate accepted {int(ok.sum())}/{n} "
                   f"(|da|<={gate_deg}deg, |dxy|<={gate_xy}m)", flush=True)

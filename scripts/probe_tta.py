@@ -31,15 +31,10 @@ def main():
     from alignnet3d_tpu.ops.flip_resolve import apply_flip_resolution
     from alignnet3d_tpu.training.trainer import Trainer
 
-    if os.path.isdir(cfg_path):
-        cfg_path = os.path.join(cfg_path, "config.json")
+    from alignnet3d_tpu.utils.runs import resolve_run_checkpoint
+
+    cfg_path, ckpt_dir = resolve_run_checkpoint(cfg_path, epoch)
     cfg = load_config(cfg_path)
-    # A run-dir config.json derives logdir from its filename stem
-    # ("config" -> runs/config/). If the checkpoint lives next to the
-    # config file, that dir IS the run dir — restore from there.
-    ckpt_dir = os.path.dirname(os.path.abspath(cfg_path))
-    if not os.path.exists(os.path.join(ckpt_dir, f"model-{epoch}.msgpack")):
-        ckpt_dir = None
     trainer = Trainer(cfg, seed=0, use_mesh=False)
     state = trainer.init_state()
     state = trainer.restore_checkpoint(
