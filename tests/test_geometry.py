@@ -108,3 +108,34 @@ def test_decompose_yaw_roundtrip():
         M = geo.get_mat_angle([0.5, -0.5, 0.1], angle)
         t, yaw = geo.decompose_yaw(M)
         assert yaw == pytest.approx(geo.wrap_angle(angle), abs=1e-9)
+
+
+def test_compose_gated_refinement():
+    """Shared gated composition (geometry.compose_gated_refinement):
+    accepted pairs get exactly dM @ M1; rejected pairs keep M1; the
+    mod-pi wrap treats a pi-flipped increment as near-zero (flip
+    resolution owns branch choice, the gate must not re-reject it)."""
+    import numpy as np
+
+    from alignnet3d_tpu.geometry import (
+        compose_gated_refinement,
+        get_mat_angle_batch,
+    )
+
+    M1 = get_mat_angle_batch(
+        np.array([[1.0, 2.0, 0.0]] * 3),
+        np.array([0.3, 0.3, 0.3]),
+        np.zeros((3, 3)),
+    )
+    # pair 0: tiny increment (accepted); pair 1: big yaw (rejected);
+    # pair 2: pi + tiny (mod-pi wrap -> accepted)
+    t2 = np.array([[0.01, 0.0, 0.0], [0.01, 0.0, 0.0], [0.01, 0.0, 0.0]])
+    a2 = np.array([0.01, 0.5, np.pi + 0.01])
+    c2 = np.zeros((3, 3))
+    M, ok = compose_gated_refinement(M1, t2, a2, c2,
+                                     gate_deg=2.0, gate_xy=0.15)
+    assert ok.tolist() == [True, False, True]
+    dM = get_mat_angle_batch(t2, a2, c2)
+    np.testing.assert_allclose(M[0], dM[0] @ M1[0], atol=1e-12)
+    np.testing.assert_allclose(M[1], M1[1], atol=1e-12)
+    np.testing.assert_allclose(M[2], dM[2] @ M1[2], atol=1e-12)
