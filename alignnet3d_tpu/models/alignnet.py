@@ -51,6 +51,9 @@ class ModelSpec:
     remaining_mlp: Sequence[int] = (512, 256)
     remaining_dropout_keep: float = 0.7
     compute_dtype: str = "float32"
+    # TPU-native approximate kNN for the dgcnn graph (lax.approx_max_k,
+    # ops/knn.py) — off by default: exact reference semantics
+    dgcnn_approx_knn: bool = False
     # True = run both clouds through the encoder as one stacked 2B batch
     # (shared BN batch stats); False = two calls like the reference graph.
     stack_siamese: bool = True
@@ -72,6 +75,9 @@ class ModelSpec:
             remaining_mlp=tuple(opts.remaining_transform_prediction[0]),
             remaining_dropout_keep=opts.remaining_transform_prediction[1],
             compute_dtype=cfg.tpu.compute_dtype if cfg.has("tpu") else "float32",
+            dgcnn_approx_knn=bool(
+                opts.has("dgcnn_approx_knn") and opts.dgcnn_approx_knn
+            ),
         )
 
     @property
@@ -91,9 +97,10 @@ class TransformerNet(nn.Module):
 
     @nn.compact
     def __call__(self, points, train, momentum):
-        feat = make_backbone(self.spec.backbone, self.backbone_sizes, self.spec.dtype)(
-            points, train, momentum
-        )
+        feat = make_backbone(
+            self.spec.backbone, self.backbone_sizes, self.spec.dtype,
+            approx_knn=self.spec.dgcnn_approx_knn,
+        )(points, train, momentum)
         head_width = 3 + (2 * self.spec.num_bins if self.with_angles else 0)
         return MLPHead(
             layer_sizes=tuple(self.mlp_sizes) + (head_width,),

@@ -71,6 +71,8 @@ class DGCNNBackbone(nn.Module):
     layer_sizes: Sequence[int]
     k: int = 20
     dtype: jnp.dtype = jnp.float32
+    # TPU-native approximate top-k for the graph (ops/knn.py)
+    approx_knn: bool = False
 
     @nn.compact
     def __call__(self, points: jax.Array, train: bool, momentum) -> jax.Array:
@@ -84,7 +86,7 @@ class DGCNNBackbone(nn.Module):
         x = points.astype(self.dtype)
         b, n, _ = x.shape
         k = min(self.k, n)
-        nn_idx = knn(pairwise_distance(x), k)
+        nn_idx = knn(pairwise_distance(x), k, approximate=self.approx_knn)
         edge = get_edge_feature(x, nn_idx)
 
         h = edge
@@ -125,9 +127,11 @@ class MLPHead(nn.Module):
         return x
 
 
-def make_backbone(backbone: str, layer_sizes: Sequence[int], dtype) -> nn.Module:
+def make_backbone(backbone: str, layer_sizes: Sequence[int], dtype,
+                  approx_knn: bool = False) -> nn.Module:
     if backbone == "pointnet":
         return PointNetBackbone(layer_sizes=tuple(layer_sizes), dtype=dtype)
     if backbone == "dgcnn":
-        return DGCNNBackbone(layer_sizes=tuple(layer_sizes), dtype=dtype)
+        return DGCNNBackbone(layer_sizes=tuple(layer_sizes), dtype=dtype,
+                             approx_knn=approx_knn)
     raise ValueError(f"unknown backbone {backbone!r}")

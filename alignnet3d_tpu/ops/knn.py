@@ -22,9 +22,20 @@ def pairwise_distance(points: jax.Array) -> jax.Array:
     return 2.0 * inner - sq[:, :, None] - sq[:, None, :]
 
 
-def knn(neg_dist: jax.Array, k: int = 20) -> jax.Array:
+def knn(neg_dist: jax.Array, k: int = 20,
+        approximate: bool = False) -> jax.Array:
     """Indices of the k nearest neighbors, shape (B, N, k)
-    (reference tf_util_dgcnn.py:660-671)."""
+    (reference tf_util_dgcnn.py:660-671).
+
+    ``approximate`` uses ``jax.lax.approx_max_k`` — the TPU-native
+    partial-reduction top-k (recall ~0.95 at default settings), much
+    cheaper than the exact sort-based ``top_k`` on the vector units.
+    Graph convs are robust to a slightly perturbed neighbor set; enable
+    via ``model.options.dgcnn_approx_knn`` (off by default — exact
+    reference semantics)."""
+    if approximate:
+        _, idx = jax.lax.approx_max_k(neg_dist, k)
+        return idx
     _, idx = jax.lax.top_k(neg_dist, k)
     return idx
 

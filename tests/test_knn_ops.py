@@ -38,3 +38,23 @@ def test_edge_features(rng):
     np.testing.assert_allclose(
         edge[0, i, j, 3:], neighbor - pts[0, i], atol=1e-6
     )
+
+
+def test_knn_approximate_mostly_agrees():
+    """approx_max_k kNN (TPU-native partial reduction, ops/knn.py) must
+    recover most of the exact neighbor set on a random cloud — the graph
+    conv only needs a high-recall neighborhood, not an exact one."""
+    import numpy as np
+
+    from alignnet3d_tpu.ops.knn import knn, pairwise_distance
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(2, 256, 3)).astype(np.float32)
+    d = pairwise_distance(pts)
+    exact = np.asarray(knn(d, 20))
+    approx = np.asarray(knn(d, 20, approximate=True))
+    recall = np.mean([
+        len(set(exact[b, i]) & set(approx[b, i])) / 20.0
+        for b in range(2) for i in range(256)
+    ])
+    assert recall > 0.9, recall

@@ -434,3 +434,38 @@ def test_flip_aware_requires_composite():
 
     with pytest.raises(ValueError, match="composite_translation"):
         LossSpec(flip_aware_composite=True, composite_translation=False)
+
+
+def test_dgcnn_approx_knn_forward():
+    """model.options.dgcnn_approx_knn routes the graph build through
+    lax.approx_max_k (ops/knn.py) and the forward still runs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from alignnet3d_tpu.config import config_from_dict
+    from alignnet3d_tpu.models.alignnet import AlignNet, ModelSpec
+
+    cfg = config_from_dict({
+        "model": {
+            "model": "tp8", "backbone": "dgcnn", "num_points": 64,
+            "options": {
+                "angle_factor": 1.0, "early_stage_factor": 0.5,
+                "s1transformer": [[16, 32], [[32], 0.7]],
+                "s2transformer": [[16, 32], [[32], 0.7]],
+                "embedding": [16, 64],
+                "remaining_transform_prediction": [[32], 0.7],
+                "dgcnn_approx_knn": True,
+            },
+            "angles": {"num_bins": 8, "accept_inverted_angle": True},
+        },
+    })
+    spec = ModelSpec.from_config(cfg)
+    assert spec.dgcnn_approx_knn
+    m = AlignNet(spec)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 3)),
+                    jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, x, x, train=False)
+    out = m.apply(v, x, x, train=False)
+    assert np.all(np.isfinite(out["pred_translations"]))
