@@ -40,6 +40,10 @@ class Aligner:
                  scale_residuals: bool = False, seed: int = 0,
                  voxel_resample: float | None = None):
         self.spec = spec
+        # frozen at construction: the compiled forward closure-captures
+        # this pytree (DESIGN.md §9), so mutating ``aligner.variables``
+        # later has NO effect — build a new Aligner to swap weights.
+        # Kept as an attribute for introspection only.
         self.variables = variables
         self.batch_size = batch_size
         self.residual_scale = (
@@ -61,12 +65,17 @@ class Aligner:
 
     def _forward_for(self, variables):
         """Compiled forward for an alternate weight set (e.g. a residual
-        refiner), cached per object identity — each gets its own
-        closure-captured executable (DESIGN.md §9)."""
+        refiner), cached per OBJECT IDENTITY — each gets its own
+        closure-captured executable (DESIGN.md §9). Pass the SAME pytree
+        object across calls: a fresh object with identical contents
+        recompiles. The cache is bounded (FIFO, 4 entries) so a caller
+        that does churn weight objects leaks recompiles, not memory."""
         if variables is None:
             return self._forward
         key = id(variables)
         if key not in self._alt_forwards:
+            while len(self._alt_forwards) >= 4:
+                self._alt_forwards.pop(next(iter(self._alt_forwards)))
             model = self._model
             self._alt_forwards[key] = jax.jit(
                 lambda a, b: model.apply(variables, a, b, train=False)

@@ -150,9 +150,10 @@ class EmbeddingNet(nn.Module):
         # here one batched einsum.
         normalized = rotate_points_z(centered_s2, -s2_angles)
 
-        embedding = make_backbone(spec.backbone, spec.embedding, spec.dtype)(
-            normalized, train, momentum
-        )
+        embedding = make_backbone(
+            spec.backbone, spec.embedding, spec.dtype,
+            approx_knn=spec.dgcnn_approx_knn,
+        )(normalized, train, momentum)
         return embedding, center_mean, s1_center, s2_center, s2_angle_logits
 
 

@@ -17,6 +17,19 @@ if [ -n "$PREV" ]; then
 fi
 log "previous chain done"
 
+# inline config generation (review finding: the original run consumed
+# session-local /tmp configs no committed code creates — a rerun on a
+# fresh box would fail on missing files)
+python3 - <<'PYEOF'
+import json
+c = json.load(open('configs/SynthCars80kFullStack.json'))
+c['evaluation']['refinement'] = {"method": "p2plane", "radius": 0.1}
+json.dump(c, open('/tmp/FS_p2plane.json', 'w'), indent=4)
+c['evaluation']['network_refine']['weights'] = \
+    '/root/data/runs/SynthCars80kRefiner/model-59'
+json.dump(c, open('/tmp/FS_p2plane_rw.json', 'w'), indent=4)
+PYEOF
+
 log "step A: voxel + net2(base) + p2plane single"
 timeout -k 30 7200 python scripts/eval_with_config.py \
     /tmp/FS_p2plane.json 209 /root/data/runs/SynthCars80k --refineICP

@@ -20,6 +20,10 @@ log "previous chain done"
 
 for variant in exact approx; do
     log "step: dgcnn 3-epoch probe ($variant knn)"
+    # throwaway probe runs: clear any previous attempt so out.log is
+    # fresh (setup_logging rolls an existing out.log to out_<date>.log,
+    # which would make the result grep read a STALE run — review finding)
+    rm -rf "/root/data/runs/DGCNNKnn_${variant}"
     python3 - "$variant" <<'PYEOF'
 import json, sys
 v = sys.argv[1]
@@ -30,7 +34,9 @@ if v == 'approx':
 json.dump(c, open(f'/tmp/DGCNNKnn_{v}.json', 'w'), indent=4)
 PYEOF
     timeout -k 30 3600 python train.py train --config /tmp/DGCNNKnn_$variant.json
-    log "variant $variant rc=$?"
+    rc=$?
+    log "variant $variant rc=$rc"
+    [ $rc -ne 0 ] && log "variant $variant DID NOT FINISH — comparison invalid"
 done
 grep "Finished epoch" /root/data/runs/DGCNNKnn_exact/out.log | tail -2
 grep "Finished epoch" /root/data/runs/DGCNNKnn_approx/out.log | tail -2

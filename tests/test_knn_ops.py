@@ -43,7 +43,13 @@ def test_edge_features(rng):
 def test_knn_approximate_mostly_agrees():
     """approx_max_k kNN (TPU-native partial reduction, ops/knn.py) must
     recover most of the exact neighbor set on a random cloud — the graph
-    conv only needs a high-recall neighborhood, not an exact one."""
+    conv only needs a high-recall neighborhood, not an exact one.
+
+    NOTE (review finding): on the CPU test rig approx_max_k reduces to
+    an exact top-k, so the recall bound only bites when this suite runs
+    on TPU; the shape/validity/self-neighbor assertions below are the
+    real CPU-side coverage (they catch wiring bugs: wrong axis, sign
+    convention on neg_dist, k mishandling)."""
     import numpy as np
 
     from alignnet3d_tpu.ops.knn import knn, pairwise_distance
@@ -53,6 +59,14 @@ def test_knn_approximate_mostly_agrees():
     d = pairwise_distance(pts)
     exact = np.asarray(knn(d, 20))
     approx = np.asarray(knn(d, 20, approximate=True))
+    assert approx.shape == (2, 256, 20)
+    assert approx.min() >= 0 and approx.max() < 256
+    # with the correct sign convention every point's nearest neighbor
+    # (distance 0) is itself — it must appear in its own approx set
+    self_hit = np.mean([
+        i in approx[b, i] for b in range(2) for i in range(256)
+    ])
+    assert self_hit > 0.99, self_hit
     recall = np.mean([
         len(set(exact[b, i]) & set(approx[b, i])) / 20.0
         for b in range(2) for i in range(256)
