@@ -480,7 +480,8 @@ class Trainer:
 
     def _network_refine_pass(self, state, eval_fn, P, val_idxs,
                              batch_size, residual_scale, net_ref,
-                             resolve_flips: bool = True):
+                             resolve_flips: bool = True,
+                             iteration: int = 0):
         """Second forward pass on the coarsely aligned pair
         (evaluation.network_refine): transform pc1 by the first pass's
         composed transform, re-predict, compose dM @ M1, and accept the
@@ -533,7 +534,8 @@ class Trainer:
             P["pred_translations"], P["pred_angles"][:, 0],
             P["pred_s2_pc1centers"],
         )
-        rng = self._epoch_rng(2, 1)  # distinct fixed stream from pass 1
+        # distinct fixed stream per pass (pass 1 of the eval loop is (2))
+        rng = self._epoch_rng(2, 1 + iteration)
         t2 = np.empty((n, 3), np.float32)
         a2 = np.empty(n, np.float64)
         c2 = np.empty((n, 3), np.float32)
@@ -881,10 +883,19 @@ class Trainer:
                 "runs the coarse pass everywhere; refine after gather)"
             )
             t0 = time.time()
-            P = self._network_refine_pass(
-                state, eval_fn, P, val_idxs, batch_size, residual_scale,
-                net_ref, resolve_flips=do_resolve_flips,
-            )
+            # iterations > 1 compose from the GATED chain each pass
+            # (P is rewritten in place), so deeper iterations stay
+            # frame-consistent — unlike the probe's raw-chain scoring
+            # (scripts/probe_iter_refine.py note). Measured: a residual-
+            # trained refiner keeps improving through 3 passes
+            # (docs/RESULTS.md "Residual-task refiner").
+            for itn in range(int(net_ref.iterations)
+                             if net_ref.has("iterations") else 1):
+                P = self._network_refine_pass(
+                    state, eval_fn, P, val_idxs, batch_size,
+                    residual_scale, net_ref,
+                    resolve_flips=do_resolve_flips, iteration=itn,
+                )
             cumulated_times += time.time() - t0
 
         if refine_icp:

@@ -293,3 +293,29 @@ def test_network_refine_rejects_residual_task(workspace):
     state = trainer.init_state()
     with pytest.raises(AssertionError, match="mutually exclusive"):
         trainer.eval_one_epoch(state, 0, eval_only=True)
+
+
+def test_network_refine_iterations(workspace):
+    """evaluation.network_refine.iterations runs N gated passes; each
+    composes from the previous GATED output (frame-consistent, unlike
+    the probe's raw-chain scoring) and the eval still produces valid
+    world-frame artifacts."""
+    root, cfg_path, base = workspace
+    cfg = json.load(open(cfg_path))
+    cfg["evaluation"]["network_refine"] = {
+        "enabled": True, "iterations": 2,
+        "gate": {"max_dyaw_deg": 180.0, "max_dxy": 1000.0},
+    }
+    it_cfg_path = str(root / "E2ENetRefineIter.json")
+    json.dump(cfg, open(it_cfg_path, "w"))
+    from alignnet3d_tpu.config import load_config
+    from alignnet3d_tpu.training import Trainer
+
+    c = load_config(it_cfg_path)
+    trainer = Trainer(c, seed=0)
+    state = trainer.init_state()
+    loss = trainer.eval_one_epoch(state, 0, eval_only=True)
+    assert np.isfinite(loss)
+    ed = str(root / "runs" / "E2ENetRefineIter" / "val" / "eval000000")
+    assert np.all(np.load(f"{ed}/pred_s2_pc1centers.npy") == 0.0)
+    assert np.all(np.isfinite(np.load(f"{ed}/pred_translations.npy")))
