@@ -54,6 +54,16 @@ class ModelSpec:
     # TPU-native approximate kNN for the dgcnn graph (lax.approx_max_k,
     # ops/knn.py) — off by default: exact reference semantics
     dgcnn_approx_knn: bool = False
+    # Per-view canonical shape-completion decoder (framework addition,
+    # 0 = off = reference semantics). When > 0, each view's embedding
+    # additionally decodes ``completion_points`` canonical-frame points,
+    # supervised by a flip-aware chamfer against the union of both views
+    # in the GT canonical frame (losses.py). Rationale: docs/RESULTS.md
+    # "per-view center identifiability" — the fine-bucket floor is each
+    # view's shape understanding; the decoder forces the embedding to
+    # carry full object extent and adds a gradient path that pulls the
+    # predicted canonical frame (s2 center + yaw) onto the shape.
+    completion_points: int = 0
     # True = run both clouds through the encoder as one stacked 2B batch
     # (shared BN batch stats); False = two calls like the reference graph.
     stack_siamese: bool = True
@@ -77,6 +87,10 @@ class ModelSpec:
             compute_dtype=cfg.tpu.compute_dtype if cfg.has("tpu") else "float32",
             dgcnn_approx_knn=bool(
                 opts.has("dgcnn_approx_knn") and opts.dgcnn_approx_knn
+            ),
+            completion_points=(
+                int(opts.completion_points)
+                if opts.has("completion_points") else 0
             ),
         )
 
@@ -154,7 +168,24 @@ class EmbeddingNet(nn.Module):
             spec.backbone, spec.embedding, spec.dtype,
             approx_knn=spec.dgcnn_approx_knn,
         )(normalized, train, momentum)
-        return embedding, center_mean, s1_center, s2_center, s2_angle_logits
+
+        completion = None
+        if spec.completion_points > 0:
+            # canonical-frame shape completion decoded from the embedding
+            # alone: the decoder cannot see the pose error, so matching the
+            # GT canonical target pressures s2_center/s2_angles (through
+            # ``normalized``) toward the shape-consistent frame.
+            m = spec.completion_points
+            comp = MLPHead(
+                layer_sizes=(256, 3 * m),
+                dropout_keep=None,
+                dtype=spec.dtype,
+                name="completion",
+            )(embedding, train, momentum)
+            completion = comp.reshape(comp.shape[0], m, 3)
+
+        return (embedding, center_mean, s1_center, s2_center,
+                s2_angle_logits, completion)
 
 
 class AlignNet(nn.Module):
@@ -176,14 +207,17 @@ class AlignNet(nn.Module):
         if spec.stack_siamese:
             b = pcs1.shape[0]
             stacked = jnp.concatenate([pcs1, pcs2], axis=0)
-            emb, cm, s1c, s2c, s2logits = encoder(stacked, train, momentum)
+            emb, cm, s1c, s2c, s2logits, comp = encoder(stacked, train, momentum)
             emb1, emb2 = emb[:b], emb[b:]
             s1_center1, s1_center2 = s1c[:b], s1c[b:]
             s2_center1, s2_center2 = s2c[:b], s2c[b:]
             logits1, logits2 = s2logits[:b], s2logits[b:]
+            comp1, comp2 = (comp[:b], comp[b:]) if comp is not None else (None, None)
         else:
-            emb1, _, s1_center1, s2_center1, logits1 = encoder(pcs1, train, momentum)
-            emb2, _, s1_center2, s2_center2, logits2 = encoder(pcs2, train, momentum)
+            emb1, _, s1_center1, s2_center1, logits1, comp1 = encoder(
+                pcs1, train, momentum)
+            emb2, _, s1_center2, s2_center2, logits2, comp2 = encoder(
+                pcs2, train, momentum)
 
         combined = jnp.concatenate([emb1, emb2], axis=-1)
         head = MLPHead(
@@ -206,4 +240,7 @@ class AlignNet(nn.Module):
             + (s2_center2 - s2_center1).astype(jnp.float32),
             "pred_remaining_angle_logits": out[:, 3:],
         }
+        if comp1 is not None:
+            end_points["pred_pc1completions"] = comp1.astype(jnp.float32)
+            end_points["pred_pc2completions"] = comp2.astype(jnp.float32)
         return end_points

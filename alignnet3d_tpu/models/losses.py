@@ -28,7 +28,7 @@ from alignnet3d_tpu.ops.angle_codec import (
     logits_to_angle,
     soft_angle_targets,
 )
-from alignnet3d_tpu.ops.transforms import transform_pcs
+from alignnet3d_tpu.ops.transforms import rotate_points_z, transform_pcs
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +43,9 @@ class LossSpec:
     inverted_angle_mode: str = "reference_max"  # 'reference_max' | 'min'
     composite_translation: bool = False
     flip_aware_composite: bool = False
+    # weight of the per-view canonical-completion chamfer term (framework
+    # addition; requires model.options.completion_points > 0). 0 = off.
+    completion_weight: float = 0.0
 
     @classmethod
     def from_config(cls, cfg: Any) -> "LossSpec":
@@ -67,6 +70,10 @@ class LossSpec:
             flip_aware_composite=(
                 opts.flip_aware_composite
                 if opts.has("flip_aware_composite") else False
+            ),
+            completion_weight=(
+                float(opts.completion_weight)
+                if opts.has("completion_weight") else 0.0
             ),
         )
 
@@ -133,6 +140,51 @@ def _angle_losses(logits, target_angles, spec: LossSpec):
             pick_first = losses[0] < losses_180[0]
         losses = jnp.where(pick_first, losses, losses_180)
     return losses  # (3,): total, class, residual
+
+
+def _sq_chamfer(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """Symmetric squared chamfer per sample: (B, M, 3) vs (B, K, 3) -> (B,).
+
+    Squared distances keep the gradient finite at zero; the (B, M, K)
+    matrix is one batched matmul (MXU) plus two row/col min-reductions.
+    """
+    d2 = (
+        jnp.sum(pred ** 2, axis=-1)[:, :, None]
+        - 2.0 * jnp.einsum("bmd,bkd->bmk", pred, target)
+        + jnp.sum(target ** 2, axis=-1)[:, None, :]
+    )
+    d2 = jnp.maximum(d2, 0.0)
+    return jnp.mean(jnp.min(d2, axis=2), axis=1) + jnp.mean(
+        jnp.min(d2, axis=1), axis=1
+    )
+
+
+def _completion_loss(pcs1, pcs2, pc1_centers, pc2_centers,
+                     pc1_angles, pc2_angles, end_points) -> jax.Array:
+    """Per-view canonical shape-completion chamfer (framework addition;
+    no reference analogue — see docs/RESULTS.md "per-view center
+    identifiability").
+
+    Target: the union of BOTH views mapped to the GT canonical object
+    frame (``Rz(-a_i)(p - c_i)`` — same convention as the model's stage-3
+    normalization, alignnet.py). Both views decode against the same
+    target, so the two embeddings must agree on one complete shape.
+    Flip-aware: with ``accept_inverted_angle`` training the network may
+    canonicalize at theta+pi; each view independently scores against the
+    target and its 180-degree flip and keeps the min.
+    """
+    u1 = rotate_points_z(pcs1 - pc1_centers[:, None, :], -pc1_angles)
+    u2 = rotate_points_z(pcs2 - pc2_centers[:, None, :], -pc2_angles)
+    union = jnp.concatenate([u1, u2], axis=1)  # (B, 2N, 3)
+    union_flip = union * jnp.asarray([-1.0, -1.0, 1.0], union.dtype)
+
+    total = 0.0
+    for key in ("pred_pc1completions", "pred_pc2completions"):
+        comp = end_points[key]
+        cd = jnp.minimum(_sq_chamfer(comp, union),
+                         _sq_chamfer(comp, union_flip))
+        total = total + 0.5 * jnp.mean(cd)
+    return total
 
 
 def loss_separate(
@@ -221,6 +273,19 @@ def loss_separate(
     loss_translation = esf * (s1_t + s2_t) + s3_t
     loss_angle = esf * s2_a + a3[0]
     loss = loss_translation + spec.angle_factor * loss_angle
+
+    comp_loss = None
+    if spec.completion_weight > 0.0:
+        if "pred_pc1completions" not in end_points:
+            raise ValueError(
+                "completion_weight > 0 requires model.options."
+                "completion_points > 0 (no completion head in end_points)"
+            )
+        comp_loss = _completion_loss(
+            pcs1, pcs2, pc1_centers, pc2_centers,
+            pc1_angles, pc2_angles, end_points,
+        )
+        loss = loss + spec.completion_weight * comp_loss
     # the reference divides the (already batch-mean) loss by batch size again
     # (tp8.py:334) — preserved, it only rescales the LR.
     per_transform_loss = loss / batch_size
@@ -242,6 +307,8 @@ def loss_separate(
         "losses_stages/stage3_angle_class_loss": a3[1],
         "losses_stages/stage3_angle_residual_loss": a3[2],
     }
+    if comp_loss is not None:
+        aux["losses_stages/completion_loss"] = comp_loss
     return per_transform_loss, aux
 
 
