@@ -86,7 +86,18 @@ class DGCNNBackbone(nn.Module):
         x = points.astype(self.dtype)
         b, n, _ = x.shape
         k = min(self.k, n)
-        nn_idx = knn(pairwise_distance(x), k, approximate=self.approx_knn)
+        if jax.default_backend() == "tpu" and not self.approx_knn:
+            # fused Pallas kNN: distance tiles never leave VMEM
+            # (ops/knn_kernels.py; exact top_k semantics). stop_gradient
+            # keeps AD out of the integer-valued kernel — the graph
+            # structure is non-differentiable in the reference too.
+            from alignnet3d_tpu.ops.knn_kernels import knn_points_pallas
+
+            nn_idx = knn_points_pallas(
+                jax.lax.stop_gradient(x.astype(jnp.float32)), k)
+        else:
+            nn_idx = knn(pairwise_distance(x), k,
+                         approximate=self.approx_knn)
         edge = get_edge_feature(x, nn_idx)
 
         h = edge
