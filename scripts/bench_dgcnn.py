@@ -82,6 +82,23 @@ def main(argv):
             best = min(best, time.perf_counter() - t0)
         return best / N_ITERS
 
+    # graph-build variants: XLA exact / XLA approx / fused Pallas kernel
+    from alignnet3d_tpu.ops.knn import knn, pairwise_distance
+    from alignnet3d_tpu.ops.knn_kernels import knn_points_pallas
+
+    if jax.devices()[0].platform == "tpu":
+        t_exact = timed(lambda p: knn(pairwise_distance(p), 20)
+                        .astype(jnp.float32), pts,
+                        lambda o: 1e-9 * jnp.mean(o)[None, None, None])
+        t_approx = timed(lambda p: knn(pairwise_distance(p), 20, True)
+                         .astype(jnp.float32), pts,
+                         lambda o: 1e-9 * jnp.mean(o)[None, None, None])
+        t_pallas = timed(lambda p: knn_points_pallas(p, 20)
+                         .astype(jnp.float32), pts,
+                         lambda o: 1e-9 * jnp.mean(o)[None, None, None])
+        print(f"knn: XLA exact {t_exact*1e3:.3f} ms | XLA approx "
+              f"{t_approx*1e3:.3f} ms | Pallas fused {t_pallas*1e3:.3f} ms")
+
     lowered = jax.jit(fwd).lower(pts).compile()
     ca = lowered.cost_analysis()
     flops = ca.get("flops", float("nan"))
