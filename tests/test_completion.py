@@ -220,3 +220,25 @@ def test_completion_end_to_end_training(tmp_path):
     assert ev["num"] == 4
     preds = np.load(eval_dir / "pred_translations.npy")
     assert np.all(np.isfinite(preds))
+
+
+def test_serving_fold_ignores_completion_head():
+    """The BN-folded serving path (serving.py) must serve a
+    completion-trained checkpoint unchanged: the aux head is
+    training-only and its params are simply not part of the fold."""
+    import jax.numpy as jnp
+
+    from alignnet3d_tpu.serving import build_inference_fn
+
+    model, variables = _init(SPEC)
+    fn = build_inference_fn(SPEC, variables, compute_dtype=jnp.float32)
+    pcs1, pcs2 = _batch(seed=9)
+    out_s = fn(pcs1, pcs2)
+    out_m = model.apply(variables, pcs1, pcs2, train=False)
+    for key in ("pred_translations", "pred_s2_pc1centers",
+                "pred_remaining_angle_logits"):
+        np.testing.assert_allclose(
+            np.asarray(out_s[key]), np.asarray(out_m[key]),
+            rtol=1e-4, atol=1e-4,
+        )
+    assert "pred_pc1completions" not in out_s
