@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from alignnet3d_tpu.models.alignnet import ModelSpec
 from alignnet3d_tpu.ops.angle_codec import logits_to_angle
 from alignnet3d_tpu.ops.pointnet_kernels import fused_pointnet
+from alignnet3d_tpu.ops.quant import fused_pointnet_int8, quantize_weights_int8
 from alignnet3d_tpu.ops.transforms import rotate_points_z
 
 BN_EPS = 1e-3
@@ -84,45 +85,61 @@ class _FoldedMLPHead:
 
 
 class _FoldedTransformer:
-    def __init__(self, params, stats, n_backbone: int, n_mlp: int):
+    def __init__(self, params, stats, n_backbone: int, n_mlp: int,
+                 int8: bool = False):
         bp = params["PointNetBackbone_0"]
         bs = stats["PointNetBackbone_0"]
         self.bb_w, self.bb_b = _fold_chain(bp, bs, "conv", n_backbone)
+        self.bb_q = quantize_weights_int8(self.bb_w) if int8 else None
         self.head = _FoldedMLPHead(
             params["MLPHead_0"], stats["MLPHead_0"], n_mlp
         )
 
     def __call__(self, points, use_pallas, compute_dtype):
-        feat = fused_pointnet(points, self.bb_w, self.bb_b,
-                              use_pallas=use_pallas,
-                              compute_dtype=compute_dtype)
+        if self.bb_q is not None:
+            feat = fused_pointnet_int8(points, self.bb_q, self.bb_b)
+        else:
+            feat = fused_pointnet(points, self.bb_w, self.bb_b,
+                                  use_pallas=use_pallas,
+                                  compute_dtype=compute_dtype)
         return self.head(feat, compute_dtype)
 
 
 def build_inference_fn(spec: ModelSpec, variables, use_pallas: bool = False,
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=jnp.bfloat16,
+                       quantize: str | None = None):
     """Return ``fn(pcs1, pcs2) -> end_points`` with folded weights.
 
     Only the pointnet backbone has a folded path (the dgcnn serving path
     falls back to the flax module).
+
+    ``quantize`` (framework addition, default off = exact eval-mode
+    semantics): 'embedding' runs the fat embedding chain in dynamic
+    int8 (ops/quant.py); 'backbones' additionally quantizes the s1/s2
+    transformer backbones (their MLP heads and the relative-pose head
+    stay in ``compute_dtype``). Accuracy deltas per scope are an
+    eval-time measurement (docs/RESULTS.md).
     """
     assert spec.backbone == "pointnet", "folded serving path is pointnet-only"
+    assert quantize in (None, "embedding", "backbones"), quantize
     params = variables["params"]
     stats = variables["batch_stats"]
     enc_p, enc_s = params["siamese"], stats["siamese"]
 
+    int8_bb = quantize == "backbones"
     t1 = _FoldedTransformer(
         enc_p["transformer1"], enc_s["transformer1"],
-        len(spec.s1_backbone), len(spec.s1_mlp),
+        len(spec.s1_backbone), len(spec.s1_mlp), int8=int8_bb,
     )
     t2 = _FoldedTransformer(
         enc_p["transformer2"], enc_s["transformer2"],
-        len(spec.s2_backbone), len(spec.s2_mlp),
+        len(spec.s2_backbone), len(spec.s2_mlp), int8=int8_bb,
     )
     emb_w, emb_b = _fold_chain(
         enc_p["PointNetBackbone_0"], enc_s["PointNetBackbone_0"],
         "conv", len(spec.embedding),
     )
+    emb_q = quantize_weights_int8(emb_w) if quantize is not None else None
     remaining = _FoldedMLPHead(
         params["remaining"], stats["remaining"], len(spec.remaining_mlp)
     )
@@ -142,9 +159,12 @@ def build_inference_fn(spec: ModelSpec, variables, use_pallas: bool = False,
         normalized = rotate_points_z(
             points - s2_center[:, None, :], -s2_angles
         )
-        emb = fused_pointnet(normalized, emb_w, emb_b,
-                             use_pallas=use_pallas,
-                             compute_dtype=compute_dtype)
+        if emb_q is not None:
+            emb = fused_pointnet_int8(normalized, emb_q, emb_b)
+        else:
+            emb = fused_pointnet(normalized, emb_w, emb_b,
+                                 use_pallas=use_pallas,
+                                 compute_dtype=compute_dtype)
         return emb, s1_center, s2_center, s2_logits
 
     def forward(pcs1, pcs2):
