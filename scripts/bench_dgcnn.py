@@ -98,6 +98,11 @@ def main(argv):
                          lambda o: 1e-9 * jnp.mean(o)[None, None, None])
         print(f"knn: XLA exact {t_exact*1e3:.3f} ms | XLA approx "
               f"{t_approx*1e3:.3f} ms | Pallas fused {t_pallas*1e3:.3f} ms")
+        for tile in (128, 512):
+            tt = timed(lambda p, t=tile: knn_points_pallas(p, 20, tm=t)
+                       .astype(jnp.float32), pts,
+                       lambda o: 1e-9 * jnp.mean(o)[None, None, None])
+            print(f"     Pallas tm={tile}: {tt*1e3:.3f} ms")
 
     lowered = jax.jit(fwd).lower(pts).compile()
     ca = lowered.cost_analysis()
