@@ -32,7 +32,7 @@ import numpy as np
 from alignnet3d_tpu.config import config_from_dict
 from alignnet3d_tpu.geometry import get_mat_angle
 from alignnet3d_tpu.models.alignnet import AlignNet, ModelSpec
-from alignnet3d_tpu.ops.angle_codec import class_logits_to_angle_np
+from alignnet3d_tpu.evaluation.decode import decode_pair_outputs
 
 
 class Aligner:
@@ -188,29 +188,12 @@ class Aligner:
                 forward(jnp.asarray(a), jnp.asarray(b))
             )
             k = e - s
-            ang1 = class_logits_to_angle_np(
-                out["pred_pc1angle_logits"][:k], nb, self.residual_scale
-            )
-            ang2 = class_logits_to_angle_np(
-                out["pred_pc2angle_logits"][:k], nb, self.residual_scale
-            )
-            angr = class_logits_to_angle_np(
-                out["pred_remaining_angle_logits"][:k], nb,
-                self.residual_scale,
-            )
-            translations[s:e] = out["pred_translations"][:k]
-            composed = ang2 - ang1 + angr
-            if resolve_flips:
-                from alignnet3d_tpu.ops.flip_resolve import (
-                    apply_flip_resolution,
-                )
-
-                composed, _ = apply_flip_resolution(
-                    a[:k], b[:k], out["pred_translations"][:k], composed,
-                    out["pred_s2_pc1centers"][:k],
-                )
-            angles[s:e] = composed
-            centers[s:e] = out["pred_s2_pc1centers"][:k]
+            dec = decode_pair_outputs(
+                out, a, b, nb, self.residual_scale,
+                resolve_flips=resolve_flips, n=k)
+            translations[s:e] = dec.translations
+            angles[s:e] = dec.angles
+            centers[s:e] = dec.s2_pc1centers
         return translations, angles, centers
 
     def align(self, pcs1: Sequence[np.ndarray], pcs2: Sequence[np.ndarray],

@@ -54,6 +54,9 @@ class ModelSpec:
     # TPU-native approximate kNN for the dgcnn graph (lax.approx_max_k,
     # ops/knn.py) — off by default: exact reference semantics
     dgcnn_approx_knn: bool = False
+    # exact-kNN backend: 'xla' (default, proven) | 'pallas' (fused kernel,
+    # opt in after an on-chip win — see scripts/onchip_smoke.py)
+    dgcnn_knn_impl: str = "xla"
     # Per-view canonical shape-completion decoder (framework addition,
     # 0 = off = reference semantics). When > 0, each view's embedding
     # additionally decodes ``completion_points`` canonical-frame points,
@@ -88,6 +91,10 @@ class ModelSpec:
             dgcnn_approx_knn=bool(
                 opts.has("dgcnn_approx_knn") and opts.dgcnn_approx_knn
             ),
+            dgcnn_knn_impl=(
+                str(opts.dgcnn_knn_impl)
+                if opts.has("dgcnn_knn_impl") else "xla"
+            ),
             completion_points=(
                 int(opts.completion_points)
                 if opts.has("completion_points") else 0
@@ -114,6 +121,7 @@ class TransformerNet(nn.Module):
         feat = make_backbone(
             self.spec.backbone, self.backbone_sizes, self.spec.dtype,
             approx_knn=self.spec.dgcnn_approx_knn,
+            knn_impl=self.spec.dgcnn_knn_impl,
         )(points, train, momentum)
         head_width = 3 + (2 * self.spec.num_bins if self.with_angles else 0)
         return MLPHead(
@@ -167,6 +175,7 @@ class EmbeddingNet(nn.Module):
         embedding = make_backbone(
             spec.backbone, spec.embedding, spec.dtype,
             approx_knn=spec.dgcnn_approx_knn,
+            knn_impl=spec.dgcnn_knn_impl,
         )(normalized, train, momentum)
 
         completion = None

@@ -73,6 +73,12 @@ class DGCNNBackbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # TPU-native approximate top-k for the graph (ops/knn.py)
     approx_knn: bool = False
+    # exact-kNN implementation: 'xla' (lax.top_k on the batched distance
+    # matmul — the proven default) or 'pallas' (fused VMEM-resident kernel,
+    # ops/knn_kernels.py; opt in via model.options.dgcnn_knn_impl after the
+    # on-chip bench in scripts/onchip_smoke.py shows it winning on the
+    # target shape). Ignored when approx_knn is set.
+    knn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, points: jax.Array, train: bool, momentum) -> jax.Array:
@@ -86,17 +92,21 @@ class DGCNNBackbone(nn.Module):
         x = points.astype(self.dtype)
         b, n, _ = x.shape
         k = min(self.k, n)
-        if jax.default_backend() == "tpu" and not self.approx_knn:
+        # Graph build runs in f32 on BOTH implementations so the neighbor
+        # graph is backend-independent even under bf16 compute dtype
+        # (near-tie distances would otherwise differ across paths).
+        xg = jax.lax.stop_gradient(x.astype(jnp.float32))
+        if (self.knn_impl == "pallas" and not self.approx_knn
+                and jax.default_backend() == "tpu"):
             # fused Pallas kNN: distance tiles never leave VMEM
             # (ops/knn_kernels.py; exact top_k semantics). stop_gradient
             # keeps AD out of the integer-valued kernel — the graph
             # structure is non-differentiable in the reference too.
             from alignnet3d_tpu.ops.knn_kernels import knn_points_pallas
 
-            nn_idx = knn_points_pallas(
-                jax.lax.stop_gradient(x.astype(jnp.float32)), k)
+            nn_idx = knn_points_pallas(xg, k)
         else:
-            nn_idx = knn(pairwise_distance(x), k,
+            nn_idx = knn(pairwise_distance(xg), k,
                          approximate=self.approx_knn)
         edge = get_edge_feature(x, nn_idx)
 
@@ -139,10 +149,11 @@ class MLPHead(nn.Module):
 
 
 def make_backbone(backbone: str, layer_sizes: Sequence[int], dtype,
-                  approx_knn: bool = False) -> nn.Module:
+                  approx_knn: bool = False,
+                  knn_impl: str = "xla") -> nn.Module:
     if backbone == "pointnet":
         return PointNetBackbone(layer_sizes=tuple(layer_sizes), dtype=dtype)
     if backbone == "dgcnn":
         return DGCNNBackbone(layer_sizes=tuple(layer_sizes), dtype=dtype,
-                             approx_knn=approx_knn)
+                             approx_knn=approx_knn, knn_impl=knn_impl)
     raise ValueError(f"unknown backbone {backbone!r}")

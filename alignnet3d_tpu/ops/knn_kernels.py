@@ -75,6 +75,7 @@ def knn_points_pallas(points: jax.Array, k: int = 20, tm: int = 256,
     """
     b, n, _ = points.shape
     assert k <= n, (k, n)
+    assert tm % 128 == 0, f"tm must be a lane multiple (got {tm})"
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     np_ = _round_up(n, 128)

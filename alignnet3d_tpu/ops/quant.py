@@ -52,14 +52,45 @@ def _dense_int8(h, wq, w_scale):
     return acc.astype(jnp.float32) * (ax * w_scale)
 
 
+def _dense_int8_nonneg(h, wq, w_scale):
+    """Unsigned 8-bit activations on the signed-int8 MXU, for KNOWN
+    NONNEGATIVE rows (post-ReLU layers).
+
+    Symmetric int8 on nonnegative data wastes the sign bit (effectively
+    7-bit activations). Full unsigned precision with the same signed-int8
+    matmul via the zero-point-shift identity:
+
+        uq in [0, 255],  sq = uq - 128 in [-128, 127]
+        dot(uq, wq) = dot(sq, wq) + 128 * colsum(wq)
+
+    ``colsum`` is a per-output-channel int32 constant; with
+    closure-captured weights (DESIGN.md §9) XLA folds it at compile time.
+    """
+    ax = jnp.max(h, axis=-1, keepdims=True) / 255.0
+    ax = jnp.maximum(ax, 1e-12)
+    sq = jnp.clip(jnp.round(h / ax) - 128.0, -128.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        sq, wq,
+        (((sq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    colsum = jnp.sum(wq.astype(jnp.int32), axis=0)
+    return (acc + 128 * colsum).astype(jnp.float32) * (ax * w_scale)
+
+
 def fused_pointnet_int8(points, qweights, biases):
     """Int8 twin of ``fused_pointnet_xla`` (ops/pointnet_kernels.py):
     relu-dense chain in dynamic int8 + f32 max over the point axis.
+
+    The first layer sees signed inputs (raw/normalized coordinates) and
+    uses symmetric int8; every later layer sees post-ReLU activations and
+    uses the unsigned scheme (full 8-bit instead of 7).
 
     points: (B, N, C) f32; qweights: output of quantize_weights_int8;
     biases: [(Cout,) f32].
     """
     h = points.astype(jnp.float32)
-    for (wq, ws), b in zip(qweights, biases):
-        h = jnp.maximum(_dense_int8(h, wq, ws) + b, 0.0)
+    for i, ((wq, ws), b) in enumerate(zip(qweights, biases)):
+        dense = _dense_int8 if i == 0 else _dense_int8_nonneg
+        h = jnp.maximum(dense(h, wq, ws) + b, 0.0)
     return jnp.max(h, axis=1)

@@ -51,7 +51,7 @@ from alignnet3d_tpu.data import provider
 from alignnet3d_tpu.evaluation import metrics as evaluation
 from alignnet3d_tpu.models.alignnet import AlignNet, ModelSpec
 from alignnet3d_tpu.models.losses import LossSpec, get_loss
-from alignnet3d_tpu.ops.angle_codec import class_logits_to_angle_np
+from alignnet3d_tpu.evaluation.decode import decode_pair_outputs
 from alignnet3d_tpu.parallel import mesh as meshlib
 from alignnet3d_tpu.parallel import multihost
 from alignnet3d_tpu.training import schedules
@@ -501,7 +501,6 @@ class Trainer:
             compose_gated_refinement,
             get_mat_angle_batch,
         )
-        from alignnet3d_tpu.ops.flip_resolve import apply_flip_resolution
 
         n = len(val_idxs)
         nb = self.spec.num_bins
@@ -559,26 +558,15 @@ class Trainer:
             _, out = eval_fn(refine_state,
                              (pc1.astype(np.float32),) + tuple(batch[1:]))
             out = jax.device_get(out)
-            a_1 = class_logits_to_angle_np(
-                out["pred_pc1angle_logits"][:e - s], nb, residual_scale)
-            a_2 = class_logits_to_angle_np(
-                out["pred_pc2angle_logits"][:e - s], nb, residual_scale)
-            a_r = class_logits_to_angle_np(
-                out["pred_remaining_angle_logits"][:e - s], nb,
-                residual_scale)
-            composed = a_2 - a_1 + a_r
-            if resolve_flips:
-                # same decode policy as pass 1 (cfg.evaluation.
-                # resolve_flips) — mixing policies would let the mod-pi
-                # gate accept pi-sized "corrections"
-                composed, _ = apply_flip_resolution(
-                    pc1[:e - s], batch[1][:e - s],
-                    out["pred_translations"][:e - s], composed,
-                    out["pred_s2_pc1centers"][:e - s],
-                )
-            t2[s:e] = out["pred_translations"][:e - s]
-            a2[s:e] = composed
-            c2[s:e] = out["pred_s2_pc1centers"][:e - s]
+            # same decode policy as pass 1 (cfg.evaluation.resolve_flips)
+            # — mixing policies would let the mod-pi gate accept pi-sized
+            # "corrections"
+            dec = decode_pair_outputs(
+                out, pc1, batch[1], nb, residual_scale,
+                resolve_flips=resolve_flips, n=e - s)
+            t2[s:e] = dec.translations
+            a2[s:e] = dec.angles
+            c2[s:e] = dec.s2_pc1centers
         M, ok = compose_gated_refinement(M1, t2, a2, c2, gate_deg, gate_xy)
         logger.info(
             f"network refine: accepted {int(ok.sum())}/{n} "
@@ -824,33 +812,15 @@ class Trainer:
 
                 if actual == batch_size:
                     loss_sum += loss_val
-                ang1 = class_logits_to_angle_np(
-                    out["pred_pc1angle_logits"][:actual], nb, residual_scale
-                )
-                ang2 = class_logits_to_angle_np(
-                    out["pred_pc2angle_logits"][:actual], nb, residual_scale
-                )
-                angr = class_logits_to_angle_np(
-                    out["pred_remaining_angle_logits"][:actual], nb,
-                    residual_scale
-                )
-                P["pred_translations"][start:end] = out["pred_translations"][:actual]
-                composed = ang2 - ang1 + angr
+                t0 = time.time()
+                dec = decode_pair_outputs(
+                    out, batch[0], batch[1], nb, residual_scale,
+                    resolve_flips=do_resolve_flips, n=actual)
                 if do_resolve_flips:
-                    # framework addition: disambiguate theta vs theta+pi by
-                    # on-device chamfer (ops/flip_resolve.py)
-                    from alignnet3d_tpu.ops.flip_resolve import (
-                        apply_flip_resolution,
-                    )
-
-                    t0 = time.time()
-                    composed, _ = apply_flip_resolution(
-                        batch[0][:actual], batch[1][:actual],
-                        out["pred_translations"][:actual], composed,
-                        out["pred_s2_pc1centers"][:actual],
-                    )
                     cumulated_times += time.time() - t0
-                P["pred_angles"][start:end, 0] = composed
+                ang1, ang2 = dec.ang1, dec.ang2
+                P["pred_translations"][start:end] = dec.translations
+                P["pred_angles"][start:end, 0] = dec.angles
                 P["pred_s1_pc1centers"][start:end] = out["pred_s1_pc1centers"][:actual]
                 P["pred_s1_pc2centers"][start:end] = out["pred_s1_pc2centers"][:actual]
                 P["pred_s2_pc1centers"][start:end] = out["pred_s2_pc1centers"][:actual]

@@ -31,12 +31,11 @@ def main():
     import jax.numpy as jnp
 
     from alignnet3d_tpu.config import load_config
+    from alignnet3d_tpu.evaluation.decode import decode_pair_outputs
     from alignnet3d_tpu.evaluation.quickscore import (
         format_table,
         success_table,
     )
-    from alignnet3d_tpu.ops.angle_codec import class_logits_to_angle_np
-    from alignnet3d_tpu.ops.flip_resolve import apply_flip_resolution
     from alignnet3d_tpu.serving import build_inference_fn
     from alignnet3d_tpu.training.trainer import Trainer
 
@@ -78,22 +77,14 @@ def main():
             take = val_idxs[s:e] + [val_idxs[0]] * (bs - (e - s))
             batch = trainer._make_batch(take, rng=rng)
             out = jax.device_get(fn(batch[0], batch[1]))
-            a1 = class_logits_to_angle_np(
-                out["pred_pc1angle_logits"][:e - s], nb, residual_scale)
-            a2 = class_logits_to_angle_np(
-                out["pred_pc2angle_logits"][:e - s], nb, residual_scale)
-            ar = class_logits_to_angle_np(
-                out["pred_remaining_angle_logits"][:e - s], nb,
-                residual_scale)
-            composed = a2 - a1 + ar
-            composed, _ = apply_flip_resolution(
-                np.asarray(batch[0][:e - s]), np.asarray(batch[1][:e - s]),
-                out["pred_translations"][:e - s], composed,
-                out["pred_s2_pc1centers"][:e - s],
-            )
-            t_all[s:e] = out["pred_translations"][:e - s]
-            a_all[s:e] = composed
-            c_all[s:e] = out["pred_s2_pc1centers"][:e - s]
+            # the trainer's exact decode (evaluation/decode.py) — keeps
+            # the quantization deltas valid under future decode changes
+            dec = decode_pair_outputs(
+                out, batch[0], batch[1], nb, residual_scale,
+                resolve_flips=True, n=e - s)
+            t_all[s:e] = dec.translations
+            a_all[s:e] = dec.angles
+            c_all[s:e] = dec.s2_pc1centers
         tab = success_table(t_all, a_all, c_all, gt_t, gt_a, gt_c)
         print(f"{scope or 'f32-fold':12s} "
               f"{format_table(tab, ('all', 'val', 'test'))}", flush=True)

@@ -58,8 +58,7 @@ def main():
     import jax
 
     from alignnet3d_tpu.config import load_config
-    from alignnet3d_tpu.ops.angle_codec import class_logits_to_angle_np
-    from alignnet3d_tpu.ops.flip_resolve import apply_flip_resolution
+    from alignnet3d_tpu.evaluation.decode import decode_pair_outputs
     from alignnet3d_tpu.training.trainer import Trainer
 
     cfg_path, ckpt_dir = _resolve(cfg_path, epoch)
@@ -137,22 +136,12 @@ def main():
                 batch = (pc1,) + tuple(batch[1:])
             _, out = eval_fn(state if it == 0 else refine_state, batch)
             out = jax.device_get(out)
-            a1 = class_logits_to_angle_np(
-                out["pred_pc1angle_logits"][:e - s], nb, residual_scale)
-            a2 = class_logits_to_angle_np(
-                out["pred_pc2angle_logits"][:e - s], nb, residual_scale)
-            ar = class_logits_to_angle_np(
-                out["pred_remaining_angle_logits"][:e - s], nb,
-                residual_scale)
-            composed = a2 - a1 + ar
-            composed, _ = apply_flip_resolution(
-                pc1[:e - s], batch[1][:e - s],
-                out["pred_translations"][:e - s], composed,
-                out["pred_s2_pc1centers"][:e - s],
-            )
-            t_all[s:e] = out["pred_translations"][:e - s]
-            a_all[s:e] = composed
-            c_all[s:e] = out["pred_s2_pc1centers"][:e - s]
+            dec = decode_pair_outputs(
+                out, pc1, batch[1], nb, residual_scale,
+                resolve_flips=True, n=e - s)
+            t_all[s:e] = dec.translations
+            a_all[s:e] = dec.angles
+            c_all[s:e] = dec.s2_pc1centers
         if it == 0:
             M = _mats_from(t_all, a_all, c_all)
             score("iter 1", M)

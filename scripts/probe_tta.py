@@ -27,8 +27,7 @@ def main():
 
     from alignnet3d_tpu.config import load_config
     from alignnet3d_tpu.data import provider
-    from alignnet3d_tpu.ops.angle_codec import class_logits_to_angle_np
-    from alignnet3d_tpu.ops.flip_resolve import apply_flip_resolution
+    from alignnet3d_tpu.evaluation.decode import decode_pair_outputs
     from alignnet3d_tpu.training.trainer import Trainer
 
     from alignnet3d_tpu.utils.runs import resolve_run_checkpoint
@@ -68,21 +67,12 @@ def main():
             batch = trainer._make_batch(take, rng=rng)
             _, out = eval_fn(state, batch)
             out = jax.device_get(out)
-            a1 = class_logits_to_angle_np(
-                out["pred_pc1angle_logits"][:e - s], nb, scale)
-            a2 = class_logits_to_angle_np(
-                out["pred_pc2angle_logits"][:e - s], nb, scale)
-            ar = class_logits_to_angle_np(
-                out["pred_remaining_angle_logits"][:e - s], nb, scale)
-            composed = a2 - a1 + ar
-            composed, _ = apply_flip_resolution(
-                batch[0][:e - s], batch[1][:e - s],
-                out["pred_translations"][:e - s], composed,
-                out["pred_s2_pc1centers"][:e - s],
-            )
-            T[rep, s:e] = out["pred_translations"][:e - s]
-            A[rep, s:e] = composed
-            C[rep, s:e] = out["pred_s2_pc1centers"][:e - s]
+            dec = decode_pair_outputs(
+                out, batch[0], batch[1], nb, scale,
+                resolve_flips=True, n=e - s)
+            T[rep, s:e] = dec.translations
+            A[rep, s:e] = dec.angles
+            C[rep, s:e] = dec.s2_pc1centers
         print(f"replica {rep} done", flush=True)
 
     from alignnet3d_tpu.evaluation.quickscore import format_table, success_table
