@@ -84,10 +84,10 @@ def ray_box_hits(dirs: np.ndarray, box_to_world: np.ndarray,
     return dirs[hit] * tfirst[hit, None]
 
 
-def ray_parts_hits(dirs: np.ndarray, pose: np.ndarray, parts,
-                   max_range: float = 120.0):
-    """First-hit points against a multi-part object: per ray, the nearest
-    hit over all (offset, half_extents) parts."""
+def ray_parts_t(dirs: np.ndarray, pose: np.ndarray, parts,
+                max_range: float = 120.0):
+    """Per-ray first-hit parameter against a multi-part object: the nearest
+    hit over all (offset, half_extents) parts. Returns (t, hit)."""
     best_t = np.full(len(dirs), np.inf)
     any_hit = np.zeros(len(dirs), bool)
     for offset, half in parts:
@@ -96,6 +96,14 @@ def ray_parts_hits(dirs: np.ndarray, pose: np.ndarray, parts,
         better = hit & (tfirst < best_t)
         best_t = np.where(better, tfirst, best_t)
         any_hit |= hit
+    return best_t, any_hit
+
+
+def ray_parts_hits(dirs: np.ndarray, pose: np.ndarray, parts,
+                   max_range: float = 120.0):
+    """First-hit points against a multi-part object: per ray, the nearest
+    hit over all (offset, half_extents) parts."""
+    best_t, any_hit = ray_parts_t(dirs, pose, parts, max_range)
     return dirs[any_hit] * best_t[any_hit, None]
 
 
@@ -205,7 +213,8 @@ class SyntheticBoxScene:
                  obj_size_range=dict(car=(6, 6), person=(1.6, 2.0)),
                  allow_persons: bool = False, person_prob: float = 0.2,
                  second_object_set: bool = False,
-                 vres: int = VRES, hres: int = HRES):
+                 vres: int = VRES, hres: int = HRES,
+                 hard: bool = False):
         self.seed = seed
         self.version = version
         self.rng = np.random.default_rng(seed)
@@ -227,6 +236,68 @@ class SyntheticBoxScene:
         self.vres = vres
         self.hres = hres
         self.pointclouds = None
+
+        # "Hard" robustness effects — the synthetic stand-in for the
+        # reference's KITTI Hard variants, which ADMIT occluded/truncated
+        # tracklets the easy configs filter out (pointcloud.py:623-642:
+        # occlusion state / truncation thresholds;
+        # configs/KITTITrackletsCarsHard.json). Three physically grounded
+        # corruptions, sampled per scene:
+        #   occluder   a second static car-sized object between the sensor
+        #              and the target shadows rays (partial occlusion) and
+        #              its nearby returns leak into the crop (clutter, like
+        #              the reference's box-crop picking up neighbors)
+        #   truncation a world-fixed half-plane cut through the object
+        #              drops one side of it in BOTH views (scan-boundary /
+        #              image-edge truncation)
+        self.hard = bool(hard)
+        self.occluder_pose = None
+        self.occluder_parts = None
+        self.trunc_normal = None
+        self.trunc_offset = None
+        if hard:
+            r = self.rng
+            dist = float(np.linalg.norm(self.transform.start_position[:2]))
+            if r.random() < 0.65 and dist >= 8.0:
+                # PARTIAL occlusion, parametrized by where the occluder's
+                # shadow EDGE falls across the target's angular extent
+                # (-0.6 = covers most of it, +0.8 = barely grazes). The
+                # occluder needs >= 3.5 m clearance from the sensor so the
+                # close scenes stay occluder-free (as in KITTI, where a
+                # blocking car can't share the ego lane).
+                f = r.uniform(max(0.45, 3.5 / dist), 0.8)
+                mid = self.transform.start_position * f
+                fwd = mid[:2] / max(np.linalg.norm(mid[:2]), 1e-6)
+                side = np.array([-fwd[1], fwd[0]])
+                occ_yaw = r.uniform(-np.pi, np.pi)
+                tgt_half_ang = 1.8 / dist
+                # conservative occluder half-extent across the LOS (its
+                # half-length; the true extent depends on yaw, so actual
+                # coverage is <= the edge parameter — grazes stay grazes)
+                occ_half_ang = 3.0 / (f * dist)
+                sgn = float(r.choice([-1.0, 1.0]))
+                edge_ang = sgn * tgt_half_ang * r.uniform(-0.6, 0.8)
+                center_ang = edge_ang + sgn * occ_half_ang
+                lat = np.tan(center_ang) * f * dist
+                pos = np.array([mid[0] + side[0] * lat,
+                                mid[1] + side[1] * lat, 0.0])
+                self.occluder_pose = get_mat_angle(pos, occ_yaw)
+                occ_rng = np.random.default_rng(
+                    int(r.integers(1, 50)) * 1009)
+                self.occluder_parts = make_object_parts("car", 6.0, occ_rng)
+            if r.random() < 0.5:
+                # half-plane beyond the object center, shaving the far
+                # 15-65% of one side's extent
+                theta = r.uniform(-np.pi, np.pi)
+                self.trunc_normal = np.array(
+                    [np.cos(theta), np.sin(theta), 0.0])
+                span = self.mesh_scale * 0.5
+                self.trunc_offset = (
+                    float(self.trunc_normal[:2]
+                          @ self.transform.start_position[:2])
+                    + span * r.uniform(0.35, 0.85)
+                )
+
         self.additional_meta = {
             "version": self.version,
             "seed": int(self.seed),
@@ -234,13 +305,40 @@ class SyntheticBoxScene:
             "mesh_scale": float(self.mesh_scale),
             "cat": self.cat,
         }
+        if hard:
+            self.additional_meta["hard"] = {
+                "occluded": self.occluder_pose is not None,
+                "truncated": self.trunc_normal is not None,
+            }
 
     def generate_pointcloud(self, add_noise: bool = True, sigma: float = 0.05,
-                            clip: float = 0.05):
+                            clip: float = 0.05, clutter_radius: float = 2.5):
         dirs = lidar_rays(self.vres, self.hres)
+        occ_t = occ_hit = None
+        if self.occluder_pose is not None:
+            # the occluder is static: one trace serves both views
+            occ_t, occ_hit = ray_parts_t(dirs, self.occluder_pose,
+                                         self.occluder_parts)
         clouds = []
         for pose in (self.transform.transform_start, self.transform.transform_end):
-            pts = ray_parts_hits(dirs, pose, self.parts)
+            t, hit = ray_parts_t(dirs, pose, self.parts)
+            if occ_t is not None:
+                # shadowing: rays the occluder intercepts first never reach
+                # the target
+                hit = hit & ~(occ_hit & (occ_t < t))
+            pts = dirs[hit] * t[hit, None]
+            if self.hard and occ_t is not None:
+                # clutter: occluder returns near the target leak into the
+                # box crop (the reference crops by tracklet box, so close
+                # neighbors contaminate the cloud the same way)
+                opts = dirs[occ_hit] * occ_t[occ_hit, None]
+                near = (np.linalg.norm(opts[:, :2] - pose[:2, 3][None],
+                                       axis=1) < clutter_radius)
+                if near.any():
+                    pts = np.concatenate([pts, opts[near]], axis=0)
+            if self.trunc_normal is not None and len(pts):
+                keep = pts @ self.trunc_normal <= self.trunc_offset
+                pts = pts[keep]
             if add_noise and len(pts):
                 pts = distance_noise(pts, pose[:3, 3], self.rng, sigma, clip)
             clouds.append(np.asarray(pts, dtype=np.float32))
@@ -273,7 +371,8 @@ class SyntheticBoxScene:
 def generate_dataset(basepath: str, num_train: int, num_val: int,
                      seed: int = 0, vres: int = 32, hres: int = 720,
                      polar_dist_range=(4, 20), allow_persons: bool = False,
-                     second_object_set: bool = False, min_points: int = 5):
+                     second_object_set: bool = False, min_points: int = 5,
+                     hard: bool = False):
     """Generate a complete dataset directory (meta + clouds + splits).
 
     Scenes whose observations have fewer than ``min_points`` hits are
@@ -289,7 +388,7 @@ def generate_dataset(basepath: str, num_train: int, num_val: int,
         scene = SyntheticBoxScene(
             seed=seed * 1_000_003 + attempt, vres=vres, hres=hres,
             polar_dist_range=polar_dist_range, allow_persons=allow_persons,
-            second_object_set=second_object_set,
+            second_object_set=second_object_set, hard=hard,
         )
         attempt += 1
         scene.generate_pointcloud()

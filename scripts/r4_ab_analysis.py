@@ -1,0 +1,84 @@
+"""Round-4 completion-prior A/B: analysis + flagship decision.
+
+Compares the two 60-epoch arms (SynthCars40kBaseR4 vs SynthCars40kCompR4)
+on (a) the eval_180 success table and (b) the per-view s2-center xy error
+medians — the quantity the completion prior targets (docs/RESULTS.md
+"per-view center identifiability": the reference re-bases predicted
+translations through the predicted center, evaluation.py:129, so per-view
+center error binds the <2 cm bucket).
+
+Decision rule (written to /root/data/r4_ab_decision.json): pick the
+completion arm for the 80k flagship iff it improves the per-view center
+median AND does not lose more than 0.5 pt <20 cm overall.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from alignnet3d_tpu.data.provider import getDataFiles
+from alignnet3d_tpu.geometry import str_to_np
+
+BASE = "/root/data/SynthCars40k"
+RUNS = {"base": "SynthCars40kBaseR4", "comp": "SynthCars40kCompR4"}
+
+
+def latest_eval_dir(run):
+    vd = f"/root/data/runs/{run}/val"
+    evals = sorted(p for p in os.listdir(vd) if p.startswith("eval")
+                   and os.path.isfile(f"{vd}/{p}/eval_180.json"))
+    return f"{vd}/{evals[-1]}"
+
+
+def main():
+    val = getDataFiles(f"{BASE}/split/val.txt")
+    metas = [json.load(open(f"{BASE}/meta/{i:08d}.json")) for i in val]
+    gt1 = np.stack([str_to_np(m["start_position"]).reshape(3) for m in metas])
+    gt2 = np.stack([str_to_np(m["end_position"]).reshape(3) for m in metas])
+
+    out = {}
+    for arm, run in RUNS.items():
+        d = latest_eval_dir(run)
+        c1 = np.load(f"{d}/pred_s2_pc1centers.npy")
+        c2 = np.load(f"{d}/pred_s2_pc2centers.npy")
+        e = np.concatenate([
+            np.linalg.norm((c1 - gt1)[:, :2], axis=1),
+            np.linalg.norm((c2 - gt2)[:, :2], axis=1),
+        ])
+        rel = np.linalg.norm(((c2 - c1) - (gt2 - gt1))[:, :2], axis=1)
+        ev = json.load(open(f"{d}/eval_180.json"))
+        lv = [round(100 * x, 2) for x in ev["corr_levels"]]
+        out[arm] = {
+            "eval_dir": d,
+            "center_xy_p50_cm": round(float(np.median(e)) * 100, 2),
+            "center_xy_p90_cm": round(float(np.quantile(e, 0.9)) * 100, 2),
+            "center_diff_xy_p50_cm": round(float(np.median(rel)) * 100, 2),
+            "levels_180": lv,
+        }
+        print(f"{arm}: {d}\n  per-view center xy p50={out[arm]['center_xy_p50_cm']}cm "
+              f"p90={out[arm]['center_xy_p90_cm']}cm | "
+              f"center-DIFF p50={out[arm]['center_diff_xy_p50_cm']}cm | "
+              f"eval_180 <2/10/20cm = {lv}", flush=True)
+
+    b, c = out["base"], out["comp"]
+    center_wins = c["center_xy_p50_cm"] < b["center_xy_p50_cm"]
+    holds_20 = c["levels_180"][2] >= b["levels_180"][2] - 0.5
+    pick = "comp" if (center_wins and holds_20) else "base"
+    decision = {
+        "pick": pick,
+        "flagship_config": f"configs/SynthCars80kR4{'Comp' if pick == 'comp' else 'Base'}.json",
+        "center_wins": bool(center_wins),
+        "holds_20cm": bool(holds_20),
+        "arms": out,
+    }
+    with open("/root/data/r4_ab_decision.json", "w") as f:
+        json.dump(decision, f, indent=1)
+    print(f"DECISION: {pick} -> {decision['flagship_config']}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-4 flagship eval rows: headline (own val, p2plane refine), fresh
+# seed-777 generalization, and the Hard robustness table (plain + refined).
+# Reads the flagship run name from /root/data/r4_flagship.txt and
+# synthesizes arch-matched variant configs (the completion head changes the
+# param tree, so variants must inherit the picked config).
+set -eu
+cd "$(dirname "$0")/.."
+N=$(cat /root/data/r4_flagship.txt)
+E=119
+RUN=/root/data/runs/$N
+
+python - "$N" <<'PYEOF'
+import json, sys
+name = sys.argv[1]
+cfg = json.load(open(f"configs/{name}.json"))
+for tag, basepath in (("Fresh", "/root/data/SynthCarsValFresh"),
+                      ("Hard", "/root/data/SynthCarsHard")):
+    c = json.loads(json.dumps(cfg))
+    c["data"]["basepath"] = basepath
+    json.dump(c, open(f"/root/data/{name}{tag}_eval.json", "w"), indent=4)
+print("variant configs written")
+PYEOF
+
+echo "== headline: own val, network refine + p2plane =="
+timeout 5400 python scripts/eval_with_config.py "configs/$N.json" $E "$RUN" \
+    --refineICP --method p2plane
+echo "== fresh seed-777 val =="
+timeout 5400 python scripts/eval_with_config.py "/root/data/${N}Fresh_eval.json" $E "$RUN" \
+    --refineICP --method p2plane
+echo "== hard robustness: network-only =="
+timeout 5400 python scripts/eval_with_config.py "/root/data/${N}Hard_eval.json" $E "$RUN"
+echo "== hard robustness: + p2plane refine =="
+timeout 5400 python scripts/eval_with_config.py "/root/data/${N}Hard_eval.json" $E "$RUN" \
+    --refineICP --method p2plane

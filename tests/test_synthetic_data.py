@@ -156,3 +156,39 @@ def test_prefetch_iterator():
     it = provider.PrefetchIterator(boom, 5)
     with pytest.raises(ValueError):
         list(it)
+
+
+def test_hard_mode_corruptions():
+    """Hard scenes (the synthetic stand-in for the reference's KITTI Hard
+    variants, pointcloud.py:623-642) are deterministic, flagged in meta,
+    and strictly remove target returns vs the easy twin (occlusion /
+    truncation), modulo appended clutter points."""
+    n_occ = n_trunc = 0
+    for seed in range(30):
+        h = SyntheticBoxScene(seed=seed, vres=32, hres=720, hard=True)
+        h.generate_pointcloud()
+        h2 = SyntheticBoxScene(seed=seed, vres=32, hres=720, hard=True)
+        h2.generate_pointcloud()
+        for a, b in zip(h.pointclouds, h2.pointclouds):
+            np.testing.assert_array_equal(a, b)
+        meta = h.additional_meta["hard"]
+        n_occ += meta["occluded"]
+        n_trunc += meta["truncated"]
+        if meta["truncated"] and not meta["occluded"]:
+            # truncation alone only removes points (no clutter source)
+            e = SyntheticBoxScene(seed=seed, vres=32, hres=720, hard=False)
+            e.generate_pointcloud()
+            assert len(h.pointclouds[0]) <= len(e.pointclouds[0])
+    assert n_occ > 0 and n_trunc > 0
+
+
+def test_hard_dataset_generation(tmp_path):
+    base = str(tmp_path / "hard")
+    train, val = generate_dataset(base, 6, 3, seed=5, hard=True)
+    assert len(train) == 6 and len(val) == 3
+    metas = [json.load(open(f"{base}/meta/{i:08d}.json"))
+             for i in train + val]
+    assert all("hard" in m for m in metas)
+    for i in train + val:
+        pc = np.load(f"{base}/pointcloud1/{i:08d}.npy")
+        assert len(pc) >= 5
