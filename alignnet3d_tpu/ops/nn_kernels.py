@@ -58,6 +58,7 @@ def _nn_kernel(src_ref, dst_ref, dst_sq_ref, out_d2_ref, out_idx_ref,
         cross = jax.lax.dot_general(
             src, dst, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                            # (tm, tn)
         d2 = src_sq[:, None] - 2.0 * cross + dst_sq[None, :]
         tile_d2 = jnp.min(d2, axis=1)

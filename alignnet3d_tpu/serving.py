@@ -84,19 +84,59 @@ class _FoldedMLPHead:
         return out + self.b_final
 
 
+class _FoldedDGCNN:
+    """Folded DGCNN backbone: exact-kNN graph + the fused gather-free
+    edge-conv Pallas stage (ops/edge_conv_kernels.py) + final dense/max.
+
+    The reference's 3-layer DGCNN shape (tp8.py:30-46: two edge convs,
+    max over neighbors, one point conv, max over points) is the only one
+    any config uses; other depths fall back to the flax module.
+    """
+
+    def __init__(self, params, stats, n_layers: int, k: int = 20):
+        assert n_layers == 3, "folded dgcnn path expects 3 conv layers"
+        w, b = _fold_chain(params, stats, "conv", n_layers)
+        (self.w1, self.w2, self.w3), (self.b1, self.b2, self.b3) = w, b
+        self.k = k
+
+    def __call__(self, points, compute_dtype):
+        from alignnet3d_tpu.ops.edge_conv_kernels import fused_edge_stage
+        from alignnet3d_tpu.ops.knn import knn, pairwise_distance
+
+        xg = points.astype(jnp.float32)
+        nn_idx = knn(pairwise_distance(xg), min(self.k, points.shape[1]))
+        h = fused_edge_stage(points, nn_idx, self.w1, self.b1,
+                             self.w2, self.b2)          # (B, N, C2)
+        h = h.astype(compute_dtype)
+        h = jnp.dot(h, self.w3.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + self.b3.astype(jnp.float32), 0.0)
+        return jnp.max(h, axis=1)
+
+
 class _FoldedTransformer:
     def __init__(self, params, stats, n_backbone: int, n_mlp: int,
-                 int8: bool = False):
-        bp = params["PointNetBackbone_0"]
-        bs = stats["PointNetBackbone_0"]
-        self.bb_w, self.bb_b = _fold_chain(bp, bs, "conv", n_backbone)
-        self.bb_q = quantize_weights_int8(self.bb_w) if int8 else None
+                 int8: bool = False, backbone: str = "pointnet"):
+        self.backbone = backbone
+        if backbone == "dgcnn":
+            assert not int8, "int8 serving is pointnet-only"
+            self.dgcnn = _FoldedDGCNN(
+                params["DGCNNBackbone_0"], stats["DGCNNBackbone_0"],
+                n_backbone)
+            self.bb_q = None
+        else:
+            bp = params["PointNetBackbone_0"]
+            bs = stats["PointNetBackbone_0"]
+            self.bb_w, self.bb_b = _fold_chain(bp, bs, "conv", n_backbone)
+            self.bb_q = quantize_weights_int8(self.bb_w) if int8 else None
         self.head = _FoldedMLPHead(
             params["MLPHead_0"], stats["MLPHead_0"], n_mlp
         )
 
     def __call__(self, points, use_pallas, compute_dtype):
-        if self.bb_q is not None:
+        if self.backbone == "dgcnn":
+            feat = self.dgcnn(points, compute_dtype)
+        elif self.bb_q is not None:
             feat = fused_pointnet_int8(points, self.bb_q, self.bb_b)
         else:
             feat = fused_pointnet(points, self.bb_w, self.bb_b,
@@ -110,8 +150,9 @@ def build_inference_fn(spec: ModelSpec, variables, use_pallas: bool = False,
                        quantize: str | None = None):
     """Return ``fn(pcs1, pcs2) -> end_points`` with folded weights.
 
-    Only the pointnet backbone has a folded path (the dgcnn serving path
-    falls back to the flax module).
+    pointnet folds into relu-dense chains (fused_pointnet); dgcnn folds
+    into exact-kNN + the gather-free fused edge-conv stage
+    (ops/edge_conv_kernels.py) + a final dense/max.
 
     ``quantize`` (framework addition, default off = exact eval-mode
     semantics): 'embedding' runs the fat embedding chain in dynamic
@@ -120,8 +161,10 @@ def build_inference_fn(spec: ModelSpec, variables, use_pallas: bool = False,
     stay in ``compute_dtype``). Accuracy deltas per scope are an
     eval-time measurement (docs/RESULTS.md).
     """
-    assert spec.backbone == "pointnet", "folded serving path is pointnet-only"
+    assert spec.backbone in ("pointnet", "dgcnn"), spec.backbone
     assert quantize in (None, "embedding", "backbones"), quantize
+    dgcnn = spec.backbone == "dgcnn"
+    assert not (dgcnn and quantize), "int8 serving is pointnet-only"
     params = variables["params"]
     stats = variables["batch_stats"]
     enc_p, enc_s = params["siamese"], stats["siamese"]
@@ -130,16 +173,24 @@ def build_inference_fn(spec: ModelSpec, variables, use_pallas: bool = False,
     t1 = _FoldedTransformer(
         enc_p["transformer1"], enc_s["transformer1"],
         len(spec.s1_backbone), len(spec.s1_mlp), int8=int8_bb,
+        backbone=spec.backbone,
     )
     t2 = _FoldedTransformer(
         enc_p["transformer2"], enc_s["transformer2"],
         len(spec.s2_backbone), len(spec.s2_mlp), int8=int8_bb,
+        backbone=spec.backbone,
     )
-    emb_w, emb_b = _fold_chain(
-        enc_p["PointNetBackbone_0"], enc_s["PointNetBackbone_0"],
-        "conv", len(spec.embedding),
-    )
-    emb_q = quantize_weights_int8(emb_w) if quantize is not None else None
+    if dgcnn:
+        emb_dgcnn = _FoldedDGCNN(
+            enc_p["DGCNNBackbone_0"], enc_s["DGCNNBackbone_0"],
+            len(spec.embedding))
+        emb_q = None
+    else:
+        emb_w, emb_b = _fold_chain(
+            enc_p["PointNetBackbone_0"], enc_s["PointNetBackbone_0"],
+            "conv", len(spec.embedding),
+        )
+        emb_q = quantize_weights_int8(emb_w) if quantize is not None else None
     remaining = _FoldedMLPHead(
         params["remaining"], stats["remaining"], len(spec.remaining_mlp)
     )
@@ -159,7 +210,9 @@ def build_inference_fn(spec: ModelSpec, variables, use_pallas: bool = False,
         normalized = rotate_points_z(
             points - s2_center[:, None, :], -s2_angles
         )
-        if emb_q is not None:
+        if dgcnn:
+            emb = emb_dgcnn(normalized, compute_dtype)
+        elif emb_q is not None:
             emb = fused_pointnet_int8(normalized, emb_q, emb_b)
         else:
             emb = fused_pointnet(normalized, emb_w, emb_b,

@@ -112,13 +112,20 @@ def main():
     dst = jnp.asarray(rng.normal(size=(1200, 3)), jnp.float32)
     mask = jnp.asarray(rng.random(1200) > 0.1)
     idx, d2 = nn_argmin_pallas(src, dst, mask)
+    idx, d2 = np.asarray(idx), np.asarray(d2)
     full = jnp.sum((src[:, None, :] - dst[None, :, :]) ** 2, axis=-1)
     full = jnp.where(mask[None, :], full, jnp.inf)
     want_idx = np.asarray(jnp.argmin(full, axis=1))
     want_d2 = np.asarray(jnp.min(full, axis=1))
-    record("nn_argmin",
-           np.array_equal(np.asarray(idx), want_idx)
-           and np.allclose(np.asarray(d2), want_d2, rtol=1e-4, atol=1e-5))
+    idx_bad = int(np.sum(idx != want_idx))
+    # ties / f32 -summation-order noise: the chosen index may differ while
+    # its distance is equally minimal — compare the CHOSEN distances
+    chosen_d2 = np.asarray(full)[np.arange(len(idx)), idx]
+    d2_ok = np.allclose(chosen_d2, want_d2, rtol=1e-4, atol=1e-5)
+    val_ok = np.allclose(d2, chosen_d2, rtol=1e-4, atol=1e-5)
+    record("nn_argmin", d2_ok and val_ok, idx_mismatch=idx_bad,
+           max_chosen_d2_err=round(float(np.max(np.abs(chosen_d2 - want_d2))), 8),
+           max_val_err=round(float(np.max(np.abs(d2 - chosen_d2))), 8))
 
     # --- 3. int8 dynamic-quant chain vs f32 ---
     from alignnet3d_tpu.ops.quant import (
@@ -139,7 +146,9 @@ def main():
     want = np.asarray(jnp.max(h, axis=1))
     got = np.asarray(fused_pointnet_int8(
         pts8, quantize_weights_int8(ws), [jnp.asarray(x) for x in bs_]))
-    rel = float(np.max(np.abs(got - want) / (np.abs(want) + 1e-3)))
+    # SCALE-relative error (max-rel on near-zero features is meaningless
+    # for 8-bit math — the first smoke run tripped on exactly that)
+    rel = float(np.max(np.abs(got - want)) / np.max(np.abs(want)))
     # unsigned-vs-symmetric on a nonneg activation (advisor round-3)
     act = jnp.maximum(jnp.asarray(rng.normal(size=(64, 128)), jnp.float32), 0)
     wq, wsc = quantize_weights_int8([ws[2]])[0]
@@ -147,11 +156,17 @@ def main():
     e_sym = float(np.mean(np.abs(np.asarray(_dense_int8(act, wq, wsc)) - ref)))
     e_uns = float(np.mean(np.abs(
         np.asarray(_dense_int8_nonneg(act, wq, wsc)) - ref)))
-    record("int8_quant", rel < 0.08 and e_uns <= e_sym * 1.05,
+    record("int8_quant", rel < 0.05 and e_uns <= e_sym * 1.05,
            rel_err=round(rel, 4), mae_sym=round(e_sym, 5),
            mae_unsigned=round(e_uns, 5))
 
     # --- 4. BN-folded serving vs model.apply (eval mode, f32) ---
+    # FOLDING correctness is tested at HIGHEST matmul precision (TPU f32
+    # matmuls default to bf16-pass arithmetic, which amplifies through
+    # the 3-stage composition and is NOT a folding bug — the first smoke
+    # run measured 0.07 max diff at default precision; both paths ship
+    # at default/bf16 and their accuracy is measured at eval level, not
+    # elementwise). The default-precision delta is recorded as info.
     from alignnet3d_tpu.models.alignnet import AlignNet, ModelSpec
     from alignnet3d_tpu.serving import build_inference_fn
 
@@ -162,19 +177,62 @@ def main():
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         a, bcl, train=False, momentum=jnp.float32(0.9))
-    want = model.apply(variables, a, bcl, train=False,
-                       momentum=jnp.float32(0.9))
-    fn = jax.jit(build_inference_fn(spec, variables,
-                                    compute_dtype=jnp.float32))
-    got = fn(a, bcl)
-    serv_ok = True
-    worst = 0.0
-    for key in ("pred_translations", "pred_s2_pc1centers",
-                "pred_pc1angle_logits", "pred_remaining_angle_logits"):
-        d = float(np.max(np.abs(np.asarray(got[key]) - np.asarray(want[key]))))
-        worst = max(worst, d)
-        serv_ok &= d < 2e-3
-    record("folded_serving", serv_ok, max_abs_diff=round(worst, 6))
+
+    def _diff(precision):
+        with jax.default_matmul_precision(precision):
+            want = jax.jit(lambda a, b: model.apply(
+                variables, a, b, train=False,
+                momentum=jnp.float32(0.9)))(a, bcl)
+            fn = jax.jit(build_inference_fn(spec, variables,
+                                            compute_dtype=jnp.float32))
+            got = fn(a, bcl)
+        worst = 0.0
+        for key in ("pred_translations", "pred_s2_pc1centers",
+                    "pred_pc1angle_logits", "pred_remaining_angle_logits"):
+            worst = max(worst, float(np.max(np.abs(
+                np.asarray(got[key]) - np.asarray(want[key])))))
+        return worst
+
+    worst_hi = _diff("float32")
+    worst_def = _diff("default")
+    record("folded_serving", worst_hi < 2e-3,
+           max_abs_diff_f32=round(worst_hi, 6),
+           max_abs_diff_default=round(worst_def, 6))
+
+    # --- 5. fused edge-conv stage (dgcnn serving) vs XLA graph + timing ---
+    from alignnet3d_tpu.ops.edge_conv_kernels import fused_edge_stage
+    from alignnet3d_tpu.ops.knn import get_edge_feature
+
+    be, ne, ke = 128, 512, 20
+    ptse = jnp.asarray(rng.normal(size=(be, ne, 3)), jnp.float32)
+    idxe = knn(pairwise_distance(ptse), ke)
+    w1 = jnp.asarray(rng.normal(size=(6, 64)) / 2.0, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(64, 128)) / 8.0, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(128,)) * 0.1, jnp.float32)
+
+    def xla_edge(p):
+        e = get_edge_feature(p, idxe)
+        h = jnp.maximum(e @ w1 + b1, 0.0)
+        h = jnp.maximum(h @ w2 + b2, 0.0)
+        return jnp.max(h, axis=2)
+
+    want_e = np.asarray(jax.jit(xla_edge)(ptse))
+    got_e = np.asarray(fused_edge_stage(ptse, idxe, w1, b1, w2, b2))
+    rel_e = float(np.max(np.abs(got_e - want_e)) / np.max(np.abs(want_e)))
+
+    def probe_e(o):
+        return o[:, :1, :1] * 1e-9
+
+    ms_fused = timed_ms(
+        lambda p: fused_edge_stage(p, idxe, w1, b1, w2, b2), ptse, probe_e)
+    ms_xla_e = timed_ms(xla_edge, ptse, probe_e)
+    # tolerance covers bf16-pass matmul rounding (default TPU f32
+    # precision) with different contraction orderings in the two paths
+    record("edge_conv_fused", rel_e < 1e-2, rel_err=round(rel_e, 7),
+           ms_fused=round(ms_fused, 3), ms_xla=round(ms_xla_e, 3),
+           shape=f"B{be} N{ne} k{ke}",
+           fused_wins=bool(ms_fused < ms_xla_e))
 
     report["ok"] = ok_all
     os.makedirs(os.path.dirname(out_path), exist_ok=True)

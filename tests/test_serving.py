@@ -115,3 +115,41 @@ def test_pallas_kernel_max_accumulation_across_chunks():
     ref = fused_pointnet_xla(pts, w, bias, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
     assert np.asarray(got)[0, 0] == pytest.approx(10.0)
+
+
+def test_folded_dgcnn_serving_matches_flax_eval():
+    """Folded DGCNN path (fused gather-free edge-conv stage) vs
+    model.apply eval mode. 3-layer backbones per the reference shape
+    (tp8.py:30-46)."""
+    spec = ModelSpec(
+        num_points=96, num_bins=8, backbone="dgcnn",
+        s1_backbone=(16, 32, 32), s1_mlp=(32,),
+        s2_backbone=(16, 32, 32), s2_mlp=(32,),
+        embedding=(16, 32, 64), remaining_mlp=(32,),
+    )
+    model = AlignNet(spec)
+    x = jnp.zeros((4, spec.num_points, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, x, train=False,
+    )
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        a = jnp.asarray(rng.normal(size=(4, spec.num_points, 3)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(4, spec.num_points, 3)), jnp.float32)
+        _, mut = model.apply(
+            variables, a, b, train=True, momentum=0.5,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(i)},
+        )
+        variables = {"params": variables["params"],
+                     "batch_stats": mut["batch_stats"]}
+    a = jnp.asarray(rng.normal(size=(6, spec.num_points, 3)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(6, spec.num_points, 3)), jnp.float32)
+    ref = model.apply(variables, a, b, train=False)
+    serve = build_inference_fn(spec, variables, compute_dtype=jnp.float32)
+    got = serve(a, b)
+    for key in ref:
+        np.testing.assert_allclose(
+            np.asarray(ref[key]), np.asarray(got[key]),
+            rtol=5e-4, atol=5e-4, err_msg=key,
+        )
