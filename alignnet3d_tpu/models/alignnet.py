@@ -56,7 +56,7 @@ class ModelSpec:
     dgcnn_approx_knn: bool = False
     # exact-kNN backend: 'xla' (default, proven) | 'pallas' (fused kernel,
     # opt in after an on-chip win — see scripts/onchip_smoke.py)
-    dgcnn_knn_impl: str = "xla"
+    dgcnn_knn_impl: str = "pallas"
     # Per-view canonical shape-completion decoder (framework addition,
     # 0 = off = reference semantics). When > 0, each view's embedding
     # additionally decodes ``completion_points`` canonical-frame points,
@@ -93,7 +93,7 @@ class ModelSpec:
             ),
             dgcnn_knn_impl=(
                 str(opts.dgcnn_knn_impl)
-                if opts.has("dgcnn_knn_impl") else "xla"
+                if opts.has("dgcnn_knn_impl") else "pallas"
             ),
             completion_points=(
                 int(opts.completion_points)

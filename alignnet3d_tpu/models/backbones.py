@@ -73,12 +73,16 @@ class DGCNNBackbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # TPU-native approximate top-k for the graph (ops/knn.py)
     approx_knn: bool = False
-    # exact-kNN implementation: 'xla' (lax.top_k on the batched distance
-    # matmul — the proven default) or 'pallas' (fused VMEM-resident kernel,
-    # ops/knn_kernels.py; opt in via model.options.dgcnn_knn_impl after the
-    # on-chip bench in scripts/onchip_smoke.py shows it winning on the
-    # target shape). Ignored when approx_knn is set.
-    knn_impl: str = "xla"
+    # exact-kNN implementation: 'pallas' (fused VMEM-resident kernel,
+    # ops/knn_kernels.py — TPU default since the on-chip record showed
+    # exact equality on 3 shapes incl. non-tile-multiple N and a 1.7x
+    # win at tm=128: 5.6 ms vs 9.7 ms XLA at B=128 N=512 k=20,
+    # docs/onchip_smoke.json + scripts/bench_dgcnn.py) or 'xla'
+    # (lax.top_k on the batched distance matmul — the escape hatch,
+    # model.options.dgcnn_knn_impl = "xla"). The pallas path only
+    # engages on the TPU backend; elsewhere it falls back to XLA.
+    # Ignored when approx_knn is set.
+    knn_impl: str = "pallas"
 
     @nn.compact
     def __call__(self, points: jax.Array, train: bool, momentum) -> jax.Array:

@@ -65,13 +65,21 @@ def _knn_kernel(pts_ref, sq_ref, out_ref, *, k: int, tm: int):
 
 
 @partial(jax.jit, static_argnames=("k", "tm", "interpret"))
-def knn_points_pallas(points: jax.Array, k: int = 20, tm: int = 256,
+def knn_points_pallas(points: jax.Array, k: int = 20, tm: int = 128,
                       interpret: bool | None = None) -> jax.Array:
     """Exact k-NN indices from raw points: (B, N, 3) -> (B, N, k) int32.
 
     Drop-in for ``knn(pairwise_distance(points), k)`` (ops/knn.py);
-    equality is tested in tests/test_knn_kernels.py. Clouds of any N
-    are padded to the tile grid internally.
+    equality is tested in tests/test_knn_kernels.py (interpret) and
+    on-chip by scripts/onchip_smoke.py. Clouds of any N are padded to
+    the tile grid internally.
+
+    tm=128 is the measured v5e sweet spot at the DGCNN train shape
+    (B=128 N=512 k=20): 5.6 ms vs 10.6 (tm=512) / 11.7 (tm=256) / 9.7
+    (XLA exact top_k) / 7.1 (approx_max_k) — scripts/bench_dgcnn.py
+    tile sweep, 2026-08-18 on-chip run. Smaller strips keep the k
+    argmin rounds on a (128, N) tile whose per-round latency the
+    next strip's MXU matmul can hide.
     """
     b, n, _ = points.shape
     assert k <= n, (k, n)

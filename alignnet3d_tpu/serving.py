@@ -104,7 +104,16 @@ class _FoldedDGCNN:
         from alignnet3d_tpu.ops.knn import knn, pairwise_distance
 
         xg = points.astype(jnp.float32)
-        nn_idx = knn(pairwise_distance(xg), min(self.k, points.shape[1]))
+        kk = min(self.k, points.shape[1])
+        if jax.default_backend() == "tpu":
+            # fused exact kNN — same default as the training backbone
+            # (models/backbones.py knn_impl; on-chip record in
+            # docs/onchip_smoke.json)
+            from alignnet3d_tpu.ops.knn_kernels import knn_points_pallas
+
+            nn_idx = knn_points_pallas(xg, kk)
+        else:
+            nn_idx = knn(pairwise_distance(xg), kk)
         h = fused_edge_stage(points, nn_idx, self.w1, self.b1,
                              self.w2, self.b2)          # (B, N, C2)
         h = h.astype(compute_dtype)
