@@ -7,8 +7,13 @@
 set -eu
 cd "$(dirname "$0")/.."
 N=$(cat /root/data/r4_flagship.txt)
-E=119
 RUN=/root/data/runs/$N
+# latest numbered checkpoint — NOT a hard-coded final epoch, so a
+# round-end kill mid-flagship still yields eval rows (queue replays
+# this step after the resumed training adds later checkpoints)
+E=$(ls "$RUN" | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1)
+echo "[r4_eval_variants] flagship $N at epoch $E"
+WANT=$(python -c "import json; print(json.load(open('configs/$N.json'))['training']['num_epochs'] - 1)")
 
 python - "$N" <<'PYEOF'
 import json, sys
@@ -33,3 +38,10 @@ timeout 5400 python scripts/eval_with_config.py "/root/data/${N}Hard_eval.json" 
 echo "== hard robustness: + p2plane refine =="
 timeout 5400 python scripts/eval_with_config.py "/root/data/${N}Hard_eval.json" $E "$RUN" \
     --refineICP --method p2plane
+
+# rc=1 when the flagship had not reached its final epoch: the queue then
+# leaves no .done marker and a later replay re-evals at the final ckpt
+if [ "$E" -lt "$WANT" ]; then
+    echo "[r4_eval_variants] flagship incomplete ($E < $WANT) — rows above are interim"
+    exit 1
+fi
