@@ -17,6 +17,7 @@ def test_shard_indices_partition():
     assert all(not set(a) & set(b) for a in shards for b in shards if a is not b)
 
 
+@pytest.mark.slow
 def test_nan_guard_aborts(tmp_path):
     base = str(tmp_path / "NaN")
     generate_dataset(base, num_train=8, num_val=4, seed=51, vres=12, hres=90)
@@ -50,6 +51,7 @@ def test_nan_guard_aborts(tmp_path):
         trainer.train()
 
 
+@pytest.mark.slow
 def test_profiler_hook(tmp_path):
     base = str(tmp_path / "Prof")
     generate_dataset(base, num_train=16, num_val=4, seed=61, vres=12,

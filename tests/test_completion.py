@@ -183,6 +183,7 @@ def test_completion_gradient_reaches_s2_center():
     assert max(leaf_norms) > 0.0
 
 
+@pytest.mark.slow
 def test_completion_end_to_end_training(tmp_path):
     from alignnet3d_tpu.data.synthetic import generate_dataset
 

@@ -55,12 +55,14 @@ def _run_and_check(root, name, cfg_path):
     assert np.all(np.isfinite(preds))
 
 
+@pytest.mark.slow
 def test_p2p_loss_end_to_end(dataset):
     root, base = dataset
     cfg_path = _cfg(root, base, "P2P", loss={"loss": "p2p"})
     _run_and_check(root, "P2P", cfg_path)
 
 
+@pytest.mark.slow
 def test_momentum_optimizer_end_to_end(dataset):
     root, base = dataset
     cfg_path = _cfg(root, base, "Mom",
@@ -68,6 +70,7 @@ def test_momentum_optimizer_end_to_end(dataset):
     _run_and_check(root, "Mom", cfg_path)
 
 
+@pytest.mark.slow
 def test_soft_angle_classes_end_to_end(dataset):
     root, base = dataset
     cfg_path = _cfg(root, base, "Soft", loss={

@@ -37,6 +37,7 @@ def _make_cfg(root, base, variant, refine=None, name="icp_SynthICP_x"):
     return path
 
 
+@pytest.mark.slow
 def test_p2point_standalone(icp_workspace):
     root, base = icp_workspace
     from alignnet3d_tpu.cli import main
@@ -68,6 +69,7 @@ def test_gicp_multistart_standalone(icp_workspace):
     assert (eval_dir / "eval.json").is_file()
 
 
+@pytest.mark.slow
 def test_gicp_p2p_refine_reuses_base_outputs(icp_workspace):
     """The *_p2p variant must find the base run's outputs via the
     logdir[:-4] convention (reference icp.py:160-170)."""

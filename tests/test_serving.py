@@ -117,6 +117,7 @@ def test_pallas_kernel_max_accumulation_across_chunks():
     assert np.asarray(got)[0, 0] == pytest.approx(10.0)
 
 
+@pytest.mark.slow
 def test_folded_dgcnn_serving_matches_flax_eval():
     """Folded DGCNN path (fused gather-free edge-conv stage) vs
     model.apply eval mode. 3-layer backbones per the reference shape

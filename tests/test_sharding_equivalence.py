@@ -69,6 +69,7 @@ def _setup():
     return model, state, train_step, (pcs1, pcs2, labels)
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     model, state, train_step, (pcs1, pcs2, labels) = _setup()
 

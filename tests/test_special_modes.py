@@ -106,6 +106,7 @@ def test_timings_mode(held_workspace, capsys):
     assert out.count("Timing bs=32:") == 10
 
 
+@pytest.mark.slow
 def test_dgcnn_backbone_end_to_end(tmp_path):
     base = str(tmp_path / "DG")
     generate_dataset(base, num_train=8, num_val=4, seed=41, vres=12,

@@ -47,6 +47,7 @@ def _run(cfg_path, *args):
     main([*args, "--config", cfg_path])
 
 
+@pytest.mark.slow
 def test_train_produces_artifacts(workspace):
     root, cfg_path, base = workspace
     _run(cfg_path, "train")
@@ -83,6 +84,7 @@ def test_train_produces_artifacts(workspace):
     assert "accuracy/o_b_1cm" in val_scalars[-1]
 
 
+@pytest.mark.slow
 def test_resume_continues_from_checkpoint(workspace, caplog):
     root, cfg_path, base = workspace
     cfg = json.load(open(cfg_path))
@@ -109,6 +111,7 @@ def test_eval_only_missing_epoch_asserts(workspace):
         _run(cfg_path, "eval_only", "--eval_epoch", "77")
 
 
+@pytest.mark.slow
 def test_pretraining_restore_runs_initial_eval(workspace, caplog):
     root, cfg_path, base = workspace
     cfg = json.load(open(cfg_path))
@@ -191,6 +194,7 @@ def test_checkpoint_roundtrip_preserves_predictions(workspace):
     np.testing.assert_allclose(before, after, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_voxel_resample_config_wiring(workspace):
     """data.resample.mode=voxel enables the density-equalized view on the
     Trainer's dataset and trains an epoch through it (framework addition,
@@ -216,6 +220,7 @@ def test_voxel_resample_config_wiring(workspace):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_residual_task_config_wiring(workspace):
     """data.residual_task.enabled trains+evals an epoch on the residual-
     alignment distribution through the full Trainer path (framework
