@@ -99,6 +99,8 @@ def test_resume_continues_from_checkpoint(workspace, caplog):
     assert (root / "runs" / "E2E" / "model-2.msgpack").is_file()
 
 
+# depends on test_train_produces_artifacts' run dir -> same lane
+@pytest.mark.slow
 def test_eval_only_restores_numbered_checkpoint(workspace):
     root, cfg_path, base = workspace
     _run(cfg_path, "eval_only", "--eval_epoch", "2")
@@ -134,6 +136,8 @@ def test_pretraining_restore_runs_initial_eval(workspace, caplog):
     assert (root / "runs" / "Pre" / "model-0.msgpack").is_file()
 
 
+# depends on test_train_produces_artifacts' run dir -> same lane
+@pytest.mark.slow
 def test_refine_cascade_eval(workspace):
     """--refineICP with evaluation.refinement.cascade runs both gated
     stages (framework addition; single-stage path is the reference
@@ -167,6 +171,8 @@ def test_refine_cascade_eval(workspace):
         json.dump(cfg, open(cfg_path, "w"))
 
 
+# depends on test_train_produces_artifacts' run dir -> same lane
+@pytest.mark.slow
 def test_checkpoint_roundtrip_preserves_predictions(workspace):
     """Restoring model-2 must reproduce eval000002's predictions exactly."""
     root, cfg_path, base = workspace
