@@ -88,7 +88,7 @@ class DGCNNBackbone(nn.Module):
     def __call__(self, points: jax.Array, train: bool, momentum) -> jax.Array:
         assert len(self.layer_sizes) >= 2, "dgcnn needs >= 2 layers"
         from alignnet3d_tpu.ops.knn import (
-            get_edge_feature,
+            gather_rows,
             knn,
             pairwise_distance,
         )
@@ -112,10 +112,26 @@ class DGCNNBackbone(nn.Module):
         else:
             nn_idx = knn(pairwise_distance(xg), k,
                          approximate=self.approx_knn)
-        edge = get_edge_feature(x, nn_idx)
 
-        h = edge
-        for i, width in enumerate(self.layer_sizes[:-1]):
+        # First edge conv via the linear split (docs/DESIGN.md §4b-ii):
+        # conv1 is linear in the edge feature [x_i, x_j - x_i], so
+        #   conv1(edge_ij) = P x_i + Q (x_j - x_i) + b = U_i + V_j - b
+        # with U = conv1([x, -x]) and V = conv1([0, x]). U and V are two
+        # tiny (B, N, C)-matmuls; the (B, N, k, 2C) edge tensor and the
+        # MXU-pessimal k-expanded conv1 matmul (contraction dim 2C=6)
+        # never materialize — only V's rows are gathered. Exact same
+        # math and the SAME param tree (conv1 keeps its (2C, C1) kernel;
+        # flax shares params across the three calls), so checkpoints,
+        # BN batch stats, and autodiff are unchanged
+        # (tests/test_model.py::test_dgcnn_edge_linear_split_parity).
+        conv1 = _dense(self.layer_sizes[0], self.dtype, name="conv1")
+        u = conv1(jnp.concatenate([x, -x], axis=-1))
+        v = conv1(jnp.concatenate([jnp.zeros_like(x), x], axis=-1))
+        bias1 = conv1(jnp.zeros((1, 1, 2 * x.shape[-1]), x.dtype))
+        h = u[:, :, None, :] + gather_rows(v, nn_idx) - bias1[:, :, None, :]
+        h = EmaBatchNorm(dtype=self.dtype, name="bn1")(h, train, momentum)
+        h = nn.relu(h)
+        for i, width in enumerate(self.layer_sizes[1:-1], start=1):
             h = _dense(width, self.dtype, name=f"conv{i + 1}")(h)
             h = EmaBatchNorm(dtype=self.dtype, name=f"bn{i + 1}")(h, train, momentum)
             h = nn.relu(h)

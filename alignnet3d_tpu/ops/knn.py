@@ -40,26 +40,34 @@ def knn(neg_dist: jax.Array, k: int = 20,
     return idx
 
 
+def gather_rows(values: jax.Array, nn_idx: jax.Array) -> jax.Array:
+    """Neighbor row lookup: (B, N, C) x (B, N, k) -> (B, N, k, C).
+
+    FLAT row gather over the merged (B*N) axis: measured on TPU v5e this
+    lowers ~8x faster than the equivalent ``take_along_axis`` (55.3 ->
+    6.9 ms at B=128/N=512/k=20 — XLA turns the batched take_along_axis
+    into a general gather with per-element index arithmetic, while a
+    flat ``jnp.take`` of whole rows becomes a simple DMA row copy).
+    """
+    b, n, c = values.shape
+    kk = nn_idx.shape[-1]
+    offsets = (jnp.arange(b, dtype=nn_idx.dtype) * n)[:, None, None]
+    flat_idx = (nn_idx + offsets).reshape(-1)
+    return jnp.take(
+        values.reshape(b * n, c), flat_idx, axis=0
+    ).reshape(b, n, kk, c)
+
+
 def get_edge_feature(points: jax.Array, nn_idx: jax.Array,
                      k: int = 20) -> jax.Array:
     """Edge features ``[x_i, x_j - x_i]``, shape (B, N, k, 2C)
     (reference tf_util_dgcnn.py:674-706).
 
-    The neighbor lookup is a FLAT row gather over the merged (B*N) axis:
-    measured on TPU v5e this lowers ~8x faster than the equivalent
-    ``take_along_axis`` (55.3 -> 6.9 ms at B=128/N=512/k=20 — XLA turns
-    the batched take_along_axis into a general gather with per-element
-    index arithmetic, while a flat ``jnp.take`` of whole rows becomes a
-    simple DMA row copy). Semantics identical (tests/test_knn_ops.py).
+    Uses the flat row gather (``gather_rows``); semantics identical to
+    take_along_axis (tests/test_knn_ops.py).
     """
     del k  # implied by nn_idx shape
-    b, n, c = points.shape
-    kk = nn_idx.shape[-1]
-    offsets = (jnp.arange(b, dtype=nn_idx.dtype) * n)[:, None, None]
-    flat_idx = (nn_idx + offsets).reshape(-1)
-    neighbors = jnp.take(
-        points.reshape(b * n, c), flat_idx, axis=0
-    ).reshape(b, n, kk, c)
+    neighbors = gather_rows(points, nn_idx)
     central = points[:, :, None, :]
     return jnp.concatenate(
         [jnp.broadcast_to(central, neighbors.shape), neighbors - central],

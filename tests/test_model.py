@@ -469,3 +469,73 @@ def test_dgcnn_approx_knn_forward():
                 "dropout": jax.random.PRNGKey(1)}, x, x, train=False)
     out = m.apply(v, x, x, train=False)
     assert np.all(np.isfinite(out["pred_translations"]))
+
+
+def test_dgcnn_edge_linear_split_parity():
+    """The first edge conv's linear split (backbones.py: conv1(edge) =
+    U_i + V_j - b) matches the naive edge-tensor path exactly — values,
+    train-mode BN batch stats, AND parameter gradients — on the same
+    params. The naive reference below materializes the (B, N, k, 2C)
+    edge tensor like reference tf_util_dgcnn.py:674-706."""
+    from alignnet3d_tpu.models.backbones import DGCNNBackbone
+    from alignnet3d_tpu.ops.knn import get_edge_feature, knn, pairwise_distance
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 40, 3)), jnp.float32)
+    layers = (16, 24, 32)
+    k = 5
+    backbone = DGCNNBackbone(layer_sizes=layers, k=k, knn_impl="xla")
+    variables = backbone.init(
+        {"params": jax.random.PRNGKey(0)}, x, train=True, momentum=0.9)
+    params = variables["params"]
+
+    def naive(params_dict, pts):
+        """Edge-tensor forward with the same params (f32, train-mode BN)."""
+        nn_idx = knn(pairwise_distance(pts), k)
+        h = get_edge_feature(pts, nn_idx)
+        for i, width in enumerate(layers[:-1]):
+            p = params_dict[f"conv{i + 1}"]
+            h = h @ p["kernel"] + p["bias"]
+            bn = params_dict[f"bn{i + 1}"]
+            mean = jnp.mean(h, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(h), axis=(0, 1, 2)) - jnp.square(mean)
+            h = (h - mean) * jax.lax.rsqrt(var + 1e-3)
+            h = jax.nn.relu(h * bn["scale"] + bn["bias"])
+        h = jnp.max(h, axis=2)
+        p = params_dict[f"conv{len(layers)}"]
+        h = h @ p["kernel"] + p["bias"]
+        bn = params_dict[f"bn{len(layers)}"]
+        mean = jnp.mean(h, axis=(0, 1))
+        var = jnp.mean(jnp.square(h), axis=(0, 1)) - jnp.square(mean)
+        h = (h - mean) * jax.lax.rsqrt(var + 1e-3)
+        h = jax.nn.relu(h * bn["scale"] + bn["bias"])
+        return jnp.max(h, axis=1)
+
+    out_split, mutated = backbone.apply(
+        variables, x, train=True, momentum=0.9, mutable=["batch_stats"])
+    out_naive = naive(params, x)
+    np.testing.assert_allclose(out_split, out_naive, rtol=2e-5, atol=2e-5)
+
+    # train-mode BN batch stats feed the EMA identically: at momentum m,
+    # ema' = m*ema + (1-m)*batch, ema0 = (0, 1)
+    pre1 = (get_edge_feature(x, knn(pairwise_distance(x), k))
+            @ params["conv1"]["kernel"] + params["conv1"]["bias"])
+    want_mean = 0.9 * 0.0 + 0.1 * jnp.mean(pre1, axis=(0, 1, 2))
+    got_mean = mutated["batch_stats"]["bn1"]["mean"]
+    np.testing.assert_allclose(got_mean, want_mean, rtol=1e-5, atol=1e-6)
+
+    # gradient parity on every param leaf
+    def loss_split(p):
+        out = backbone.apply(
+            {**variables, "params": p}, x, train=True, momentum=0.9,
+            mutable=["batch_stats"])[0]
+        return jnp.sum(jnp.sin(out))
+
+    g_split = jax.grad(loss_split)(params)
+    g_naive = jax.grad(lambda p: jnp.sum(jnp.sin(naive(p, x))))(params)
+    flat_s = jax.tree_util.tree_leaves_with_path(g_split)
+    flat_n = dict(jax.tree_util.tree_leaves_with_path(g_naive))
+    for path, leaf in flat_s:
+        np.testing.assert_allclose(
+            leaf, flat_n[path], rtol=5e-4, atol=5e-5,
+            err_msg=str(path))
