@@ -1,10 +1,18 @@
 """Int8 quantized serving math for the folded point-MLP chains.
 
+STATUS: EXPERIMENTAL, measured and NOT adopted (round 4,
+docs/RESULTS.md "int8 ... REJECTED"): accuracy is within ±0.3 pt of
+f32 at every scope, but on the v5e the dynamic quantize/dequantize
+passes break the conv+BN fusion chain and COST 1.8-3.2x end-to-end
+throughput (112.2k -> 63.4k/34.7k pairs/s at B=8192). The serving
+default and bench stay bf16; this path remains for static-quant
+follow-ups (pre-calibrated scales would remove the per-batch passes).
+
 No reference analogue (the reference serves the full TF training graph
-in f32, train.py:246-264). On TPU v5e the MXU's int8 path doubles the
-bf16 matmul rate AND halves the activation row traffic — and DESIGN.md
-§4b measured the folded forward as row-traffic-bound in its narrow
-early layers, so int8 attacks both limits of the serving bench.
+in f32, train.py:246-264). The original motivation: on TPU v5e the
+MXU's int8 path doubles the bf16 matmul rate AND halves the activation
+row traffic — and DESIGN.md §4b measured the folded forward as
+row-traffic-bound in its narrow early layers.
 
 Scheme (standard dynamic quantization, chosen for zero calibration
 state):
