@@ -57,6 +57,10 @@ class ModelSpec:
     # exact-kNN backend: 'xla' (default, proven) | 'pallas' (fused kernel,
     # opt in after an on-chip win — see scripts/onchip_smoke.py)
     dgcnn_knn_impl: str = "pallas"
+    # Fused Pallas training edge stage (ops/edge_train_kernels.py) —
+    # OFF until an on-chip record lands (docs/onchip_smoke.json);
+    # opt in via model.options.dgcnn_fused_train
+    dgcnn_fused_train: bool = False
     # Per-view canonical shape-completion decoder (framework addition,
     # 0 = off = reference semantics). When > 0, each view's embedding
     # additionally decodes ``completion_points`` canonical-frame points,
@@ -95,6 +99,9 @@ class ModelSpec:
                 str(opts.dgcnn_knn_impl)
                 if opts.has("dgcnn_knn_impl") else "pallas"
             ),
+            dgcnn_fused_train=bool(
+                opts.has("dgcnn_fused_train") and opts.dgcnn_fused_train
+            ),
             completion_points=(
                 int(opts.completion_points)
                 if opts.has("completion_points") else 0
@@ -122,6 +129,7 @@ class TransformerNet(nn.Module):
             self.spec.backbone, self.backbone_sizes, self.spec.dtype,
             approx_knn=self.spec.dgcnn_approx_knn,
             knn_impl=self.spec.dgcnn_knn_impl,
+            fused_train=self.spec.dgcnn_fused_train,
         )(points, train, momentum)
         head_width = 3 + (2 * self.spec.num_bins if self.with_angles else 0)
         return MLPHead(
@@ -176,6 +184,7 @@ class EmbeddingNet(nn.Module):
             spec.backbone, spec.embedding, spec.dtype,
             approx_knn=spec.dgcnn_approx_knn,
             knn_impl=spec.dgcnn_knn_impl,
+            fused_train=spec.dgcnn_fused_train,
         )(normalized, train, momentum)
 
         completion = None

@@ -57,6 +57,53 @@ class PointNetBackbone(nn.Module):
         return jnp.max(x, axis=1)
 
 
+class _DenseParams(nn.Module):
+    """Parameter-tree-compatible stand-in for ``_dense``: declares the
+    SAME (kernel, bias) leaves under the same module name, but returns
+    them instead of applying — the fused training kernel consumes them
+    directly. Initializers match _dense (xavier_uniform / zeros), so a
+    fresh init is bit-identical whichever path is active."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _BNParams(nn.Module):
+    """Parameter/variable-compatible stand-in for ``EmaBatchNorm``:
+    same (scale, bias) params and (mean, var) batch_stats leaves. The
+    first call returns the affine params; a second call with the fused
+    kernel's batch statistics applies the EMA update exactly as
+    batchnorm.py does (``ema = m*ema + (1-m)*batch``)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None, momentum=None):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        if batch_mean is not None and not self.is_initializing():
+            m = jnp.asarray(momentum, jnp.float32)
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * batch_mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * batch_var
+        return scale, bias
+
+
 class DGCNNBackbone(nn.Module):
     """Dynamic-graph edge-conv stack (reference ``_get_dgcnn``, tp8.py:30-46).
 
@@ -83,6 +130,14 @@ class DGCNNBackbone(nn.Module):
     # engages on the TPU backend; elsewhere it falls back to XLA.
     # Ignored when approx_knn is set.
     knn_impl: str = "pallas"
+    # Fused Pallas TRAINING edge stage (ops/edge_train_kernels.py):
+    # exact batch-stat BN + full custom VJP, no (B, N, k, *) HBM
+    # tensors. OFF by default pending an on-chip record
+    # (docs/onchip_smoke.json); enable via
+    # model.options.dgcnn_fused_train. Train-mode only (eval keeps the
+    # XLA graph with running stats); requires exactly two edge layers
+    # (all shipped configs). Param tree is identical either way.
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, points: jax.Array, train: bool, momentum) -> jax.Array:
@@ -112,6 +167,34 @@ class DGCNNBackbone(nn.Module):
         else:
             nn_idx = knn(pairwise_distance(xg), k,
                          approximate=self.approx_knn)
+
+        if self.fused_train and train and len(self.layer_sizes) == 3:
+            from alignnet3d_tpu.ops.edge_train_kernels import (
+                fused_edge_stage_train,
+            )
+
+            c1w, c2w = self.layer_sizes[0], self.layer_sizes[1]
+            conv1 = _DenseParams(c1w, 2 * x.shape[-1], name="conv1")
+            bn1 = _BNParams(c1w, name="bn1")
+            conv2 = _DenseParams(c2w, c1w, name="conv2")
+            bn2 = _BNParams(c2w, name="bn2")
+            k1, b1 = conv1()
+            g1, be1 = bn1()
+            k2, b2 = conv2()
+            g2, be2 = bn2()
+            out, (mu1, var1, mu2, var2) = fused_edge_stage_train(
+                x, nn_idx, k1, b1, g1, be1, k2, b2, g2, be2,
+            )
+            bn1(mu1, var1, momentum)
+            bn2(mu2, var2, momentum)
+            h = out.astype(self.dtype)
+            i = len(self.layer_sizes) - 1
+            h = _dense(self.layer_sizes[-1], self.dtype,
+                       name=f"conv{i + 1}")(h)
+            h = EmaBatchNorm(dtype=self.dtype,
+                             name=f"bn{i + 1}")(h, train, momentum)
+            h = nn.relu(h)
+            return jnp.max(h, axis=1)
 
         # First edge conv via the linear split (docs/DESIGN.md §4b-ii):
         # conv1 is linear in the edge feature [x_i, x_j - x_i], so
@@ -170,10 +253,12 @@ class MLPHead(nn.Module):
 
 def make_backbone(backbone: str, layer_sizes: Sequence[int], dtype,
                   approx_knn: bool = False,
-                  knn_impl: str = "xla") -> nn.Module:
+                  knn_impl: str = "xla",
+                  fused_train: bool = False) -> nn.Module:
     if backbone == "pointnet":
         return PointNetBackbone(layer_sizes=tuple(layer_sizes), dtype=dtype)
     if backbone == "dgcnn":
         return DGCNNBackbone(layer_sizes=tuple(layer_sizes), dtype=dtype,
-                             approx_knn=approx_knn, knn_impl=knn_impl)
+                             approx_knn=approx_knn, knn_impl=knn_impl,
+                             fused_train=fused_train)
     raise ValueError(f"unknown backbone {backbone!r}")

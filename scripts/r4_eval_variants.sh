@@ -39,6 +39,12 @@ echo "== hard robustness: + p2plane refine =="
 timeout 5400 python scripts/eval_with_config.py "/root/data/${N}Hard_eval.json" $E "$RUN" \
     --refineICP --method p2plane
 
+# on-chip record for the round-4 fused TRAINING edge stage (check 6,
+# ops/edge_train_kernels.py) — this step owns the TPU slot, so the
+# smoke can run here without violating the one-client rule
+timeout 1800 python scripts/onchip_smoke.py \
+    || echo "[r4_eval_variants] smoke FAILED (see docs/onchip_smoke.json)"
+
 # rc=1 when the flagship had not reached its final epoch: the queue then
 # leaves no .done marker and a later replay re-evals at the final ckpt
 if [ "$E" -lt "$WANT" ]; then
