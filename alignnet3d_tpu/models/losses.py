@@ -46,6 +46,10 @@ class LossSpec:
     # weight of the per-view canonical-completion chamfer term (framework
     # addition; requires model.options.completion_points > 0). 0 = off.
     completion_weight: float = 0.0
+    # weight of the cross-view center-consistency term (framework addition;
+    # see docs/RESULTS.md "per-view center identifiability"). 0 = off.
+    center_consistency_weight: float = 0.0
+    center_consistency_frame: str = "canonical"  # 'canonical' | 'world'
 
     @classmethod
     def from_config(cls, cfg: Any) -> "LossSpec":
@@ -75,6 +79,14 @@ class LossSpec:
                 float(opts.completion_weight)
                 if opts.has("completion_weight") else 0.0
             ),
+            center_consistency_weight=(
+                float(opts.center_consistency_weight)
+                if opts.has("center_consistency_weight") else 0.0
+            ),
+            center_consistency_frame=(
+                opts.center_consistency_frame
+                if opts.has("center_consistency_frame") else "canonical"
+            ),
         )
 
     def __post_init__(self):
@@ -84,6 +96,11 @@ class LossSpec:
         if self.flip_aware_composite and not self.composite_translation:
             raise ValueError(
                 "flip_aware_composite requires composite_translation=true"
+            )
+        if self.center_consistency_frame not in ("canonical", "world"):
+            raise ValueError(
+                "center_consistency_frame must be 'canonical' or 'world', "
+                f"got {self.center_consistency_frame!r}"
             )
 
 
@@ -269,8 +286,34 @@ def loss_separate(
         end_points["pred_remaining_angle_logits"], remaining_target, spec
     )
 
+    cons_loss = None
+    if spec.center_consistency_weight > 0.0:
+        # Cross-view center-consistency (framework addition; no reference
+        # analogue — docs/RESULTS.md "per-view center identifiability").
+        # The absolute s2 center loss above bounds each view's error; this
+        # term penalizes only the DIFFERENTIAL component between the two
+        # views' errors — the part the relative task cannot cancel and the
+        # composite-trained t head cannot learn to compensate (the
+        # common-mode component is shape-conditional and therefore
+        # predictable; the differential is per-view noise). 'canonical'
+        # compares the errors in the GT object frame (same Rz(-a_i)
+        # convention as _completion_loss / the model's stage-3
+        # normalization); 'world' compares them directly, which equals
+        # supervising the predicted center DIFFERENCE against the GT
+        # translation (t = c2 - c1 in this label convention).
+        e1 = end_points["pred_s2_pc1centers"] - pc1_centers
+        e2 = end_points["pred_s2_pc2centers"] - pc2_centers
+        if spec.center_consistency_frame == "canonical":
+            e1 = rotate_points_z(e1[:, None, :], -pc1_angles)[:, 0, :]
+            e2 = rotate_points_z(e2[:, None, :], -pc2_angles)[:, 0, :]
+        cons_loss = huber(e1 - e2, delta=1.0)
+
     esf = spec.early_stage_factor
     loss_translation = esf * (s1_t + s2_t) + s3_t
+    if cons_loss is not None:
+        loss_translation = (
+            loss_translation + spec.center_consistency_weight * cons_loss
+        )
     loss_angle = esf * s2_a + a3[0]
     loss = loss_translation + spec.angle_factor * loss_angle
 
@@ -309,6 +352,8 @@ def loss_separate(
     }
     if comp_loss is not None:
         aux["losses_stages/completion_loss"] = comp_loss
+    if cons_loss is not None:
+        aux["losses_stages/center_consistency_loss"] = cons_loss
     return per_transform_loss, aux
 
 

@@ -10,6 +10,11 @@ center error binds the <2 cm bucket).
 Decision rule (written to /root/data/r4_ab_decision.json): pick the
 completion arm for the 80k flagship iff it improves the per-view center
 median AND does not lose more than 0.5 pt <20 cm overall.
+
+Extra arms trained later against the same base (e.g. the round-4
+center-consistency probe) reuse the metric with
+``--arm <name>=<run_name> [--out <json>]``: each named arm is compared
+to 'base' under the same rule, no flagship pick is rewritten.
 """
 
 import json
@@ -35,13 +40,28 @@ def latest_eval_dir(run):
 
 
 def main():
+    runs = dict(RUNS)
+    out_path = "/root/data/r4_ab_decision.json"
+    write_pick = True
+    if "--arm" in sys.argv:
+        # comparison-only mode: base + the named arms, separate output
+        runs = {"base": RUNS["base"]}
+        for i, a in enumerate(sys.argv):
+            if a == "--arm":
+                name, run = sys.argv[i + 1].split("=", 1)
+                runs[name] = run
+        write_pick = False
+        out_path = "/root/data/r4_arms_analysis.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+
     val = getDataFiles(f"{BASE}/split/val.txt")
     metas = [json.load(open(f"{BASE}/meta/{i:08d}.json")) for i in val]
     gt1 = np.stack([str_to_np(m["start_position"]).reshape(3) for m in metas])
     gt2 = np.stack([str_to_np(m["end_position"]).reshape(3) for m in metas])
 
     out = {}
-    for arm, run in RUNS.items():
+    for arm, run in runs.items():
         d = latest_eval_dir(run)
         c1 = np.load(f"{d}/pred_s2_pc1centers.npy")
         c2 = np.load(f"{d}/pred_s2_pc2centers.npy")
@@ -64,20 +84,34 @@ def main():
               f"center-DIFF p50={out[arm]['center_diff_xy_p50_cm']}cm | "
               f"eval_180 <2/10/20cm = {lv}", flush=True)
 
-    b, c = out["base"], out["comp"]
-    center_wins = c["center_xy_p50_cm"] < b["center_xy_p50_cm"]
-    holds_20 = c["levels_180"][2] >= b["levels_180"][2] - 0.5
-    pick = "comp" if (center_wins and holds_20) else "base"
-    decision = {
-        "pick": pick,
-        "flagship_config": f"configs/SynthCars80kR4{'Comp' if pick == 'comp' else 'Base'}.json",
-        "center_wins": bool(center_wins),
-        "holds_20cm": bool(holds_20),
-        "arms": out,
-    }
-    with open("/root/data/r4_ab_decision.json", "w") as f:
+    b = out["base"]
+    verdicts = {}
+    for arm in out:
+        if arm == "base":
+            continue
+        c = out[arm]
+        verdicts[arm] = {
+            "center_wins": bool(c["center_xy_p50_cm"] < b["center_xy_p50_cm"]),
+            "holds_20cm": bool(c["levels_180"][2] >= b["levels_180"][2] - 0.5),
+        }
+    if write_pick:
+        v = verdicts["comp"]
+        pick = "comp" if (v["center_wins"] and v["holds_20cm"]) else "base"
+        decision = {
+            "pick": pick,
+            "flagship_config": f"configs/SynthCars80kR4{'Comp' if pick == 'comp' else 'Base'}.json",
+            "center_wins": v["center_wins"],
+            "holds_20cm": v["holds_20cm"],
+            "arms": out,
+        }
+        print(f"DECISION: {pick} -> {decision['flagship_config']}", flush=True)
+    else:
+        decision = {"verdicts": verdicts, "arms": out}
+        for arm, v in verdicts.items():
+            print(f"VERDICT {arm}: center_wins={v['center_wins']} "
+                  f"holds_20cm={v['holds_20cm']}", flush=True)
+    with open(out_path, "w") as f:
         json.dump(decision, f, indent=1)
-    print(f"DECISION: {pick} -> {decision['flagship_config']}", flush=True)
 
 
 if __name__ == "__main__":
