@@ -56,7 +56,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SEQ = pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary"))
+# 64MB scoped-VMEM ceiling (default 16MB): the first on-chip compile of the
+# backward passes OOM'd the stack allocator at 17.6-18.1MB (queue.log round-4
+# warm session) — the unrolled k-loop's per-slot one-hot strips dominate.
+# v5e has ample VMEM headroom; the tile caps below keep the real working set
+# far under this.
+_SEQ = pltpu.CompilerParams(
+    dimension_semantics=("arbitrary", "arbitrary"),
+    vmem_limit_bytes=64 * 1024 * 1024,
+)
+
+# Backward passes carry ~3x the live temporaries of forward (tie-scale
+# recompute + slot chain + gradient strips), so they tile at most 128 rows
+# regardless of the forward tile (128 also won the on-chip kNN tile sweep).
+_BWD_TM = 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -480,7 +493,7 @@ def _fused_bwd_rule(eps, tm_arg, interpret, saved, cotangents):
     b, n, c = ff.shape
     k = idxT.shape[1]
     np_ = u.shape[1]
-    tm = min(tm_arg, _round_up(n, 128))
+    tm = min(tm_arg, _BWD_TM, _round_up(n, 128))
     m_count = b * n * k
     c1 = a_w.shape[1]
     c2 = w2f.shape[1]

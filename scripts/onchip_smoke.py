@@ -61,6 +61,58 @@ def timed_ms(fn, feed, probe):
     return best / N_ITERS * 1e3
 
 
+def _check_edge_train_fused(record, timed_ms, rng, jnp, ptse, idxe,
+                            w1, b1, w2, b2, be, ne, ke):
+    """Check 6: fused TRAINING edge stage (fwd+bwd custom VJP) vs XLA."""
+    import jax
+
+    from alignnet3d_tpu.ops.edge_train_kernels import fused_edge_stage_train
+    from alignnet3d_tpu.ops.knn import get_edge_feature
+
+    g1 = jnp.asarray(1.0 + 0.1 * rng.normal(size=(64,)), jnp.float32)
+    be1 = jnp.asarray(0.1 * rng.normal(size=(64,)), jnp.float32)
+    g2 = jnp.asarray(1.0 + 0.1 * rng.normal(size=(128,)), jnp.float32)
+    be2 = jnp.asarray(0.1 * rng.normal(size=(128,)), jnp.float32)
+
+    def xla_train_edge(p):
+        e = get_edge_feature(p, idxe)
+        pre1 = e @ w1 + b1
+        mu1 = jnp.mean(pre1, axis=(0, 1, 2))
+        v1 = jnp.mean(jnp.square(pre1), axis=(0, 1, 2)) - jnp.square(mu1)
+        h1 = jax.nn.relu((pre1 - mu1) * jax.lax.rsqrt(v1 + 1e-3) * g1 + be1)
+        pre2 = h1 @ w2 + b2
+        mu2 = jnp.mean(pre2, axis=(0, 1, 2))
+        v2 = jnp.mean(jnp.square(pre2), axis=(0, 1, 2)) - jnp.square(mu2)
+        h2 = jax.nn.relu((pre2 - mu2) * jax.lax.rsqrt(v2 + 1e-3) * g2 + be2)
+        return jnp.max(h2, axis=2)
+
+    def fused_train_edge(p):
+        return fused_edge_stage_train(p, idxe, w1, b1, g1, be1,
+                                      w2, b2, g2, be2)[0]
+
+    want_t = np.asarray(jax.jit(xla_train_edge)(ptse))
+    got_t = np.asarray(jax.jit(fused_train_edge)(ptse))
+    rel_t = float(np.max(np.abs(got_t - want_t)) / np.max(np.abs(want_t)))
+
+    gw = np.asarray(jax.jit(jax.grad(
+        lambda p: jnp.sum(jnp.sin(xla_train_edge(p)))))(ptse))
+    gg = np.asarray(jax.jit(jax.grad(
+        lambda p: jnp.sum(jnp.sin(fused_train_edge(p)))))(ptse))
+    rel_g = float(np.max(np.abs(gg - gw)) / max(np.max(np.abs(gw)), 1e-9))
+
+    def probe_g(o):
+        return o[:, :1, :1] * 1e-9
+
+    ms_f_t = timed_ms(lambda p: jax.grad(
+        lambda q: jnp.sum(fused_train_edge(q)))(p), ptse, probe_g)
+    ms_x_t = timed_ms(lambda p: jax.grad(
+        lambda q: jnp.sum(xla_train_edge(q)))(p), ptse, probe_g)
+    record("edge_train_fused", (rel_t < 1e-2) and (rel_g < 2e-2),
+           rel_err=round(rel_t, 7), grad_rel_err=round(rel_g, 7),
+           ms_fused_fwdbwd=round(ms_f_t, 3), ms_xla_fwdbwd=round(ms_x_t, 3),
+           shape=f"B{be} N{ne} k{ke}", fused_wins=bool(ms_f_t < ms_x_t))
+
+
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -235,50 +287,14 @@ def main():
            fused_wins=bool(ms_fused < ms_xla_e))
 
     # --- 6. fused TRAINING edge stage (fwd+bwd custom VJP) vs XLA graph ---
-    from alignnet3d_tpu.ops.edge_train_kernels import fused_edge_stage_train
-
-    g1 = jnp.asarray(1.0 + 0.1 * rng.normal(size=(64,)), jnp.float32)
-    be1 = jnp.asarray(0.1 * rng.normal(size=(64,)), jnp.float32)
-    g2 = jnp.asarray(1.0 + 0.1 * rng.normal(size=(128,)), jnp.float32)
-    be2 = jnp.asarray(0.1 * rng.normal(size=(128,)), jnp.float32)
-
-    def xla_train_edge(p):
-        e = get_edge_feature(p, idxe)
-        pre1 = e @ w1 + b1
-        mu1 = jnp.mean(pre1, axis=(0, 1, 2))
-        v1 = jnp.mean(jnp.square(pre1), axis=(0, 1, 2)) - jnp.square(mu1)
-        h1 = jax.nn.relu((pre1 - mu1) * jax.lax.rsqrt(v1 + 1e-3) * g1 + be1)
-        pre2 = h1 @ w2 + b2
-        mu2 = jnp.mean(pre2, axis=(0, 1, 2))
-        v2 = jnp.mean(jnp.square(pre2), axis=(0, 1, 2)) - jnp.square(mu2)
-        h2 = jax.nn.relu((pre2 - mu2) * jax.lax.rsqrt(v2 + 1e-3) * g2 + be2)
-        return jnp.max(h2, axis=2)
-
-    def fused_train_edge(p):
-        return fused_edge_stage_train(p, idxe, w1, b1, g1, be1,
-                                      w2, b2, g2, be2)[0]
-
-    want_t = np.asarray(jax.jit(xla_train_edge)(ptse))
-    got_t = np.asarray(jax.jit(fused_train_edge)(ptse))
-    rel_t = float(np.max(np.abs(got_t - want_t)) / np.max(np.abs(want_t)))
-
-    gw = np.asarray(jax.jit(jax.grad(
-        lambda p: jnp.sum(jnp.sin(xla_train_edge(p)))))(ptse))
-    gg = np.asarray(jax.jit(jax.grad(
-        lambda p: jnp.sum(jnp.sin(fused_train_edge(p)))))(ptse))
-    rel_g = float(np.max(np.abs(gg - gw)) / max(np.max(np.abs(gw)), 1e-9))
-
-    def probe_g(o):
-        return o[:, :1, :1] * 1e-9
-
-    ms_f_t = timed_ms(lambda p: jax.grad(
-        lambda q: jnp.sum(fused_train_edge(q)))(p), ptse, probe_g)
-    ms_x_t = timed_ms(lambda p: jax.grad(
-        lambda q: jnp.sum(xla_train_edge(q)))(p), ptse, probe_g)
-    record("edge_train_fused", (rel_t < 1e-2) and (rel_g < 2e-2),
-           rel_err=round(rel_t, 7), grad_rel_err=round(rel_g, 7),
-           ms_fused_fwdbwd=round(ms_f_t, 3), ms_xla_fwdbwd=round(ms_x_t, 3),
-           shape=f"B{be} N{ne} k{ke}", fused_wins=bool(ms_f_t < ms_x_t))
+    # A compile failure here (the round-4 warm session hit a scoped-VMEM
+    # OOM in the backward pallas_call) must still produce a recorded FAIL
+    # + written JSON — the fused_probe gate reads this file.
+    try:
+        _check_edge_train_fused(record, timed_ms, rng, jnp, ptse, idxe,
+                                w1, b1, w2, b2, be, ne, ke)
+    except Exception as e:  # noqa: BLE001 — any kernel/compile error
+        record("edge_train_fused", False, error=repr(e)[:400])
 
     report["ok"] = ok_all
     os.makedirs(os.path.dirname(out_path), exist_ok=True)

@@ -17,10 +17,25 @@ cd "$(dirname "$0")/.."
 # deregister on exit so stale pidfiles can't point at recycled pids
 PIDFILE="/tmp/tpu-chain-sup-$(basename "$CONFIG" .json).pid"
 echo $$ > "$PIDFILE"
+# Round-4 incident: an outer `timeout` TERM'd this supervisor but the
+# inner python survived it (bash does not forward signals to a foreground
+# child), leaving TWO TPU clients dispatching concurrently — the exact
+# tunnel-wedge hazard. Run the cycle in the background and forward
+# TERM/INT to it before exiting.
+CHILD=
+on_term() {
+    [ -n "$CHILD" ] && kill "$CHILD" 2>/dev/null
+    rm -f "$PIDFILE"
+    exit 143
+}
+trap on_term TERM INT
 trap 'rm -f "$PIDFILE"' EXIT
 while true; do
-    timeout -k 30 "$CYCLE" python train.py train --config "$CONFIG"
+    timeout -k 30 "$CYCLE" python train.py train --config "$CONFIG" &
+    CHILD=$!
+    wait "$CHILD"
     rc=$?
+    CHILD=
     if [ "$rc" -eq 0 ]; then
         echo "[supervisor] training completed"
         break
