@@ -482,6 +482,83 @@ class PackedDataset:
     def __len__(self):
         return len(self.indices)
 
+    # --------------------------------------------- component clutter filter
+
+    def enable_component_filter(self, cell: float = 0.5,
+                                keep: str = "central", cache: bool = True):
+        """Clutter rejection view (framework addition, data/denoise.py):
+        replaces each cloud with its kept grid-connectivity component, so
+        every downstream consumer (uniform resample, voxel view, batch
+        assembly) sees the filtered geometry. Config: ``data.denoise =
+        {"cell": 0.5, "keep": "central"|"largest"}``. Must be enabled
+        BEFORE enable_voxel_resample; the voxel cache stem then carries a
+        denoise suffix so filtered/unfiltered caches never collide."""
+        from alignnet3d_tpu.data.denoise import component_filter_indices
+
+        assert self._vox is None, "enable_component_filter before voxel view"
+        cell = float(cell)
+        for k in (1, 2):
+            counts = np.asarray(getattr(self, f"counts{k}"))
+            offsets = np.asarray(getattr(self, f"offsets{k}"))
+            pts = getattr(self, f"points{k}")
+            stem = os.path.join(
+                self.basepath,
+                f"packed_v{PACK_VERSION}_dn{k}_{cell:g}{keep[0]}")
+            pfile, mfile = f"{stem}_points.npy", f"{stem}_meta.npz"
+            if cache and os.path.isfile(pfile) and os.path.isfile(mfile):
+                meta = np.load(mfile)
+                new_counts = meta["counts"]
+                new_pts = np.load(pfile, mmap_mode="r")
+                if (len(new_counts) == len(counts)
+                        and int(meta["parent_total"]) == len(pts)
+                        and int(new_counts.sum()) == len(new_pts)):
+                    self._set_parent_arrays(k, new_pts, new_counts)
+                    continue
+            n_clouds = len(counts)
+            kept_all, new_counts = [], np.zeros(n_clouds, dtype=np.int64)
+            chunk = 4_000_000
+            start = 0
+            while start < n_clouds:
+                end, npts = start, 0
+                while end < n_clouds and (npts == 0
+                                          or npts + counts[end] <= chunk):
+                    npts += int(counts[end])
+                    end += 1
+                lo, hi = int(offsets[start]), int(offsets[end])
+                if hi > lo:
+                    block = np.asarray(pts[lo:hi], dtype=np.float32)
+                    cid = np.repeat(np.arange(start, end, dtype=np.int64),
+                                    counts[start:end])
+                    kept = component_filter_indices(block, cid, cell, keep)
+                    kept_all.append(kept + lo)
+                    new_counts[start:end] = np.bincount(
+                        cid[kept] - start, minlength=end - start)
+                start = end
+            kept_idx = (np.concatenate(kept_all) if kept_all
+                        else np.zeros(0, dtype=np.int64))
+            new_pts = np.asarray(pts, dtype=np.float32)[kept_idx] \
+                if len(kept_idx) else np.zeros((0, 3), np.float32)
+            if cache:
+                try:
+                    tmp = f"{pfile}.tmp.{os.getpid()}.npy"
+                    np.save(tmp[:-4], new_pts)
+                    os.replace(tmp, pfile)
+                    self._savez_atomic(mfile, {
+                        "counts": new_counts,
+                        "parent_total": np.int64(len(pts)),
+                    })
+                except OSError:
+                    pass  # read-only dir: filtered view stays in RAM
+            self._set_parent_arrays(k, new_pts, new_counts)
+        self._denoise_tag = f"dn{cell:g}{keep[0]}"
+
+    def _set_parent_arrays(self, k: int, pts, counts):
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        setattr(self, f"points{k}", pts)
+        setattr(self, f"counts{k}", np.asarray(counts, dtype=np.int64))
+        setattr(self, f"offsets{k}", offsets)
+
     # ------------------------------------------------- voxel resample view
 
     def enable_voxel_resample(self, voxel_size: float, cache: bool = True):
@@ -510,9 +587,13 @@ class PackedDataset:
         self._vox_size = float(voxel_size)
 
     def _vox_cache_files(self, k: int, voxel_size: float):
+        # the component filter rewrites the parent arrays, so its voxel
+        # view must cache under a distinct stem
+        dn = getattr(self, "_denoise_tag", None)
+        suffix = f"_{dn}" if dn else ""
         stem = os.path.join(
             self.basepath,
-            f"packed_v{PACK_VERSION}_vox{k}_{voxel_size:g}",
+            f"packed_v{PACK_VERSION}_vox{k}_{voxel_size:g}{suffix}",
         )
         return f"{stem}_points.npy", f"{stem}_meta.npz"
 

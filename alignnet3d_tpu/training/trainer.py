@@ -221,6 +221,16 @@ class Trainer:
         )
         self.num_batches_per_epoch = len(self.train_indices) // self.batch_size
         self.dataset = provider.PackedDataset(cfg.data.basepath)
+        # framework addition: clutter rejection (data.denoise = {"cell":
+        # 0.5, "keep": "central"|"largest"}, data/denoise.py) — must
+        # precede the voxel view (provider.enable_component_filter)
+        if cfg.data.has("denoise"):
+            self.dataset.enable_component_filter(
+                cfg.data.denoise.cell
+                if cfg.data.denoise.has("cell") else 0.5,
+                cfg.data.denoise.keep
+                if cfg.data.denoise.has("keep") else "central",
+            )
         # framework addition: density-equalized resampling (data.resample
         # = {"mode": "voxel", "voxel_size": 0.05}); default is the
         # reference's uniform resample-with-replacement (provider.py:97-98)
