@@ -56,11 +56,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# 64MB scoped-VMEM ceiling (default 16MB): the first on-chip compile of the
-# backward passes OOM'd the stack allocator at 17.6-18.1MB (queue.log round-4
-# warm session) — the unrolled k-loop's per-slot one-hot strips dominate.
-# v5e has ample VMEM headroom; the tile caps below keep the real working set
-# far under this.
 _SEQ = pltpu.CompilerParams(
     dimension_semantics=("arbitrary", "arbitrary"),
     vmem_limit_bytes=64 * 1024 * 1024,
@@ -69,6 +64,13 @@ _SEQ = pltpu.CompilerParams(
 # Backward passes carry ~3x the live temporaries of forward (tie-scale
 # recompute + slot chain + gradient strips), so they tile at most 128 rows
 # regardless of the forward tile (128 also won the on-chip kNN tile sweep).
+# They also run their k-loops as lax.fori_loop, NOT Python unrolls: the
+# unrolled backward blew Mosaic's 16MB scoped-VMEM *stack* allocator on-chip
+# (17.6-18.1MB, queue.log round-4 warm session) — that stack limit is an XLA
+# flag (--xla_tpu_scoped_vmem_limit_kib), untouched by the Pallas
+# vmem_limit_bytes param above, so the durable fix is bounding live
+# temporaries to one slot's frame. Forward stays unrolled (it fits and
+# pipelines better: 19.5 vs 43.5 ms/step on-chip at B=256/N=512).
 _BWD_TM = 128
 
 
@@ -96,15 +98,17 @@ def _gather_v(v, idx_t, tm: int):
     return onehot, rows
 
 
-def _slot_chain(u, v, idx_ref, t, tm, bn1, w2, b2, bn2):
+def _slot_chain(u, v, idx_t, tm, bn1, w2, b2, bn2):
     """Recompute one neighbor slot's forward chain for a (tm,)-strip.
 
-    Every pass derives from this single helper so recomputed values are
-    bitwise-identical across passes (required for the max-tie masks).
-    Returns dict of the intermediates each pass needs.
+    ``idx_t`` is the slot's (tm,) neighbor indices (callers slice it out
+    of the idx block — statically in the unrolled forward, dynamically in
+    the fori_loop backward). Every pass derives from this single helper so
+    recomputed values are bitwise-identical across passes (required for
+    the max-tie masks). Returns dict of the intermediates each pass needs.
     """
     mu1, r1, g1, be1 = bn1
-    onehot, rows = _gather_v(v, idx_ref[0, t, :], tm)
+    onehot, rows = _gather_v(v, idx_t, tm)
     pre1 = u + rows
     xhat1 = (pre1 - mu1) * r1
     y1 = xhat1 * g1 + be1
@@ -168,7 +172,7 @@ def _stats2_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref,
     s = jnp.zeros_like(s_ref)
     ss = jnp.zeros_like(ss_ref)
     for t in range(k):
-        c = _slot_chain(u, v, idx_ref, t, tm, bn1, None, None, None)
+        c = _slot_chain(u, v, idx_ref[0, t, :], tm, bn1, None, None, None)
         pre2 = (jax.lax.dot_general(
             c["h1"], w2, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -188,7 +192,7 @@ def _apply_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
     w2, b2 = w2_ref[...], b2_ref[...]
     acc = None
     for t in range(k):
-        c = _slot_chain(u, v, idx_ref, t, tm, bn1, w2, b2, bn2)
+        c = _slot_chain(u, v, idx_ref[0, t, :], tm, bn1, w2, b2, bn2)
         acc = c["h2"] if acc is None else jnp.maximum(acc, c["h2"])
     out_ref[0] = acc
 
@@ -198,12 +202,20 @@ def _apply_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
 # ---------------------------------------------------------------------------
 
 
-def _tie_scale(u, v, idx_ref, bn1, w2, b2, bn2, out, dout, mask, k, tm):
+def _slot_idx(idx_all, t, tm: int):
+    """Dynamic (tm,) slot slice of the (k, tm) idx block value."""
+    return jax.lax.dynamic_slice_in_dim(idx_all, t, 1, 0).reshape((tm,))
+
+
+def _tie_scale(u, v, idx_all, bn1, w2, b2, bn2, out, dout, mask, k, tm):
     """dout split evenly among argmax ties: dout * mask / count."""
-    count = jnp.zeros_like(out)
-    for t in range(k):
-        c = _slot_chain(u, v, idx_ref, t, tm, bn1, w2, b2, bn2)
-        count = count + (c["h2"] == out).astype(jnp.float32)
+
+    def body(t, count):
+        c = _slot_chain(u, v, _slot_idx(idx_all, t, tm), tm, bn1, w2, b2,
+                        bn2)
+        return count + (c["h2"] == out).astype(jnp.float32)
+
+    count = jax.lax.fori_loop(0, k, body, jnp.zeros_like(out))
     return dout / jnp.maximum(count, 1.0) * mask
 
 
@@ -222,17 +234,22 @@ def _bwd2_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
     bn2 = tuple(bn2_ref[i] for i in range(4))
     w2, b2 = w2_ref[...], b2_ref[...]
     out, dout = out_ref[0], dout_ref[0]
+    idx_all = idx_ref[0]
     mask = _row_mask(pl.program_id(1), tm, n)
-    scale = _tie_scale(u, v, idx_ref, bn1, w2, b2, bn2, out, dout, mask,
+    scale = _tie_scale(u, v, idx_all, bn1, w2, b2, bn2, out, dout, mask,
                        k, tm)
-    sa = jnp.zeros_like(sa_ref)
-    sb = jnp.zeros_like(sb_ref)
-    for t in range(k):
-        c = _slot_chain(u, v, idx_ref, t, tm, bn1, w2, b2, bn2)
+
+    def body(t, carry):
+        sa, sb = carry
+        c = _slot_chain(u, v, _slot_idx(idx_all, t, tm), tm, bn1, w2, b2,
+                        bn2)
         dh2 = (c["h2"] == out).astype(jnp.float32) * scale
         dy2 = dh2 * (c["y2"] > 0.0)
-        sa = sa + jnp.sum(dy2, axis=0, keepdims=True)
-        sb = sb + jnp.sum(dy2 * c["xhat2"], axis=0, keepdims=True)
+        return (sa + jnp.sum(dy2, axis=0, keepdims=True),
+                sb + jnp.sum(dy2 * c["xhat2"], axis=0, keepdims=True))
+
+    sa, sb = jax.lax.fori_loop(
+        0, k, body, (jnp.zeros_like(sa_ref), jnp.zeros_like(sb_ref)))
     sa_ref[...] += sa
     sb_ref[...] += sb
 
@@ -261,17 +278,17 @@ def _bwd_mid_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
     _, r2, g2, _ = bn2
     w2, b2 = w2_ref[...], b2_ref[...]
     out, dout = out_ref[0], dout_ref[0]
+    idx_all = idx_ref[0]
     ma2, mb2 = m2_ref[0], m2_ref[1]
     mask = _row_mask(pl.program_id(1), tm, n)
-    scale = _tie_scale(u, v, idx_ref, bn1, w2, b2, bn2, out, dout, mask,
+    scale = _tie_scale(u, v, idx_all, bn1, w2, b2, bn2, out, dout, mask,
                        k, tm)
     a2 = g2 * r2
-    dw2 = jnp.zeros_like(dw2_ref)
-    db2 = jnp.zeros_like(db2_ref)
-    sa = jnp.zeros_like(sa_ref)
-    sb = jnp.zeros_like(sb_ref)
-    for t in range(k):
-        c = _slot_chain(u, v, idx_ref, t, tm, bn1, w2, b2, bn2)
+
+    def body(t, carry):
+        dw2, db2, sa, sb = carry
+        c = _slot_chain(u, v, _slot_idx(idx_all, t, tm), tm, bn1, w2, b2,
+                        bn2)
         dh2 = (c["h2"] == out).astype(jnp.float32) * scale
         dy2 = dh2 * (c["y2"] > 0.0)
         dpre2 = a2 * (dy2 - ma2 - c["xhat2"] * mb2) * mask
@@ -287,6 +304,12 @@ def _bwd_mid_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
         dy1 = dh1 * (c["y1"] > 0.0)
         sa = sa + jnp.sum(dy1, axis=0, keepdims=True)
         sb = sb + jnp.sum(dy1 * c["xhat1"], axis=0, keepdims=True)
+        return dw2, db2, sa, sb
+
+    dw2, db2, sa, sb = jax.lax.fori_loop(
+        0, k, body,
+        (jnp.zeros_like(dw2_ref), jnp.zeros_like(db2_ref),
+         jnp.zeros_like(sa_ref), jnp.zeros_like(sb_ref)))
     dw2_ref[...] += dw2
     db2_ref[...] += db2
     sa_ref[...] += sa
@@ -311,17 +334,19 @@ def _bwd_in_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
     _, r2, g2, _ = bn2
     w2, b2 = w2_ref[...], b2_ref[...]
     out, dout = out_ref[0], dout_ref[0]
+    idx_all = idx_ref[0]
     ma2, mb2 = m2_ref[0], m2_ref[1]
     ma1, mb1 = m1_ref[0], m1_ref[1]
     mask = _row_mask(pl.program_id(1), tm, n)
-    scale = _tie_scale(u, v, idx_ref, bn1, w2, b2, bn2, out, dout, mask,
+    scale = _tie_scale(u, v, idx_all, bn1, w2, b2, bn2, out, dout, mask,
                        k, tm)
     a1 = g1 * r1
     a2 = g2 * r2
-    du = jnp.zeros(du_ref.shape[1:], jnp.float32)
-    dv = jnp.zeros(dv_ref.shape[1:], jnp.float32)
-    for t in range(k):
-        c = _slot_chain(u, v, idx_ref, t, tm, bn1, w2, b2, bn2)
+
+    def body(t, carry):
+        du, dv = carry
+        c = _slot_chain(u, v, _slot_idx(idx_all, t, tm), tm, bn1, w2, b2,
+                        bn2)
         dh2 = (c["h2"] == out).astype(jnp.float32) * scale
         dy2 = dh2 * (c["y2"] > 0.0)
         dpre2 = a2 * (dy2 - ma2 - c["xhat2"] * mb2) * mask
@@ -336,6 +361,12 @@ def _bwd_in_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
             c["onehot"], dpre1, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        return du, dv
+
+    du, dv = jax.lax.fori_loop(
+        0, k, body,
+        (jnp.zeros(du_ref.shape[1:], jnp.float32),
+         jnp.zeros(dv_ref.shape[1:], jnp.float32)))
     du_ref[0] = du
     dv_ref[0] += dv
 
