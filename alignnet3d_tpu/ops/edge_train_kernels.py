@@ -203,8 +203,19 @@ def _apply_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
 
 
 def _slot_idx(idx_all, t, tm: int):
-    """Dynamic (tm,) slot slice of the (k, tm) idx block value."""
-    return jax.lax.dynamic_slice_in_dim(idx_all, t, 1, 0).reshape((tm,))
+    """Dynamic (tm,) slot-t row of the (k, tm) idx block value.
+
+    Mosaic TC does not lower ``dynamic_slice`` on values (on-chip smoke
+    record, round 4), so the row is selected with a one-hot
+    (1, k) @ (k, tm) matmul — the same iota/compare/dot primitive set
+    ``_gather_v`` already lowers; exact for indices < 2**24.
+    """
+    k = idx_all.shape[0]
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) == t)
+    row = jax.lax.dot_general(
+        sel.astype(jnp.float32), idx_all.astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return row.reshape((tm,)).astype(jnp.int32)
 
 
 def _tie_scale(u, v, idx_all, bn1, w2, b2, bn2, out, dout, mask, k, tm):

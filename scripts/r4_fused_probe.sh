@@ -6,6 +6,12 @@
 # in /root/data/probe_SynthCars40k{PN512,DGCNN}Probe.log.
 set -u
 cd "$(dirname "$0")/.."
+# Re-record the smoke first (this step owns the TPU slot): the fused
+# backward was fixed twice this round (fori_loop stack bound, then the
+# one-hot slot select after Mosaic refused dynamic_slice on values) and
+# the gate below must read the CURRENT kernel's record, not a stale FAIL.
+timeout 1800 python scripts/onchip_smoke.py \
+    || echo "[r4_fused_probe] smoke still failing — gate will skip"
 OK=$(python - <<'EOF'
 import json
 try:
