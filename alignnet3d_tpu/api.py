@@ -38,7 +38,8 @@ from alignnet3d_tpu.evaluation.decode import decode_pair_outputs
 class Aligner:
     def __init__(self, spec: ModelSpec, variables, batch_size: int = 128,
                  scale_residuals: bool = False, seed: int = 0,
-                 voxel_resample: float | None = None):
+                 voxel_resample: float | None = None,
+                 denoise: tuple[float, str] | None = None):
         self.spec = spec
         # frozen at construction: the compiled forward closure-captures
         # this pytree (DESIGN.md §9), so mutating ``aligner.variables``
@@ -52,6 +53,10 @@ class Aligner:
         # density-equalized serving input (matches training
         # data.resample.mode=voxel; see provider.enable_voxel_resample)
         self.voxel_resample = voxel_resample
+        # clutter rejection (cell_m, 'central'|'largest') matching
+        # training data.denoise (provider.enable_component_filter) — a
+        # model trained on filtered clouds must serve on filtered clouds
+        self.denoise = denoise
         self._rng = np.random.default_rng(seed)
         model = AlignNet(spec)
         self._model = model
@@ -119,6 +124,15 @@ class Aligner:
                 cfg.data.resample.voxel_size
                 if cfg.data.resample.has("voxel_size") else 0.05
             )
+        # likewise a model trained with data.denoise clutter filtering
+        # (trainer.py enable_component_filter) serves with the same filter
+        if "denoise" not in kwargs and cfg.data.has("denoise"):
+            kwargs["denoise"] = (
+                cfg.data.denoise.cell
+                if cfg.data.denoise.has("cell") else 0.5,
+                cfg.data.denoise.keep
+                if cfg.data.denoise.has("keep") else "central",
+            )
         return cls(spec, variables, scale_residuals=scale, **kwargs)
 
     def _resample(self, clouds: Sequence[np.ndarray]) -> np.ndarray:
@@ -136,6 +150,18 @@ class Aligner:
         if total == 0:
             return np.zeros((m, n, 3), np.float32)
         flat = np.concatenate([a[:, :3] for a in arrs if len(a)])
+        if self.denoise is not None:
+            # same per-cloud component filter the training view applies
+            # (data/denoise.py) — train/serve preprocessing must match
+            from alignnet3d_tpu.data.denoise import component_filter_indices
+
+            cid = np.repeat(np.arange(m, dtype=np.int64), lens)
+            kept = component_filter_indices(flat, cid, *self.denoise)
+            flat = flat[kept]
+            lens = np.bincount(cid[kept], minlength=m).astype(np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                return np.zeros((m, n, 3), np.float32)
         if self.voxel_resample:
             # one representative per occupied voxel per cloud, so dense
             # near-range panels stop dominating the kept points (the SAME

@@ -31,8 +31,16 @@ MXU MATMUL in both directions: gather (fwd) as ``onehot @ V`` and
 scatter (bwd) as ``onehot^T @ dpre1`` — the backward direction replaces
 XLA's serialized scatter-add for dV, the suspected residual cost.
 
-Max-over-k gradients match ``jnp.max`` exactly (even split among ties);
-relu gradients match ``jax.nn.relu`` (0 subgradient at 0).
+Max-over-k gradients route the full cotangent to the FIRST argmax slot,
+keyed on a slot-index map the forward pass emits (round-5 fix: the
+round-4 backward recomputed h2 and relied on bitwise ``h2 == out``
+equality against the forward kernel's output, which does not survive
+Mosaic codegen differences between the unrolled forward and fori_loop
+backward — on-chip grad_rel_err 1.41 while interpret mode passed).
+``jnp.max`` splits ties evenly instead, but exact positive ties between
+DISTINCT neighbors are measure-zero in f32, and duplicate-index ties
+scatter to identical U/V rows so the accumulated gradients coincide.
+Relu gradients match ``jax.nn.relu`` (0 subgradient at 0).
 
 Returned batch stats feed the caller's EMA update and are
 NON-DIFFERENTIABLE auxiliary outputs (stop_gradient semantics — the EMA
@@ -61,8 +69,8 @@ _SEQ = pltpu.CompilerParams(
     vmem_limit_bytes=64 * 1024 * 1024,
 )
 
-# Backward passes carry ~3x the live temporaries of forward (tie-scale
-# recompute + slot chain + gradient strips), so they tile at most 128 rows
+# Backward passes carry ~3x the live temporaries of forward (slot chain
+# recompute + gradient strips), so they tile at most 128 rows
 # regardless of the forward tile (128 also won the on-chip kNN tile sweep).
 # They also run their k-loops as lax.fori_loop, NOT Python unrolls: the
 # unrolled backward blew Mosaic's 16MB scoped-VMEM *stack* allocator on-chip
@@ -103,9 +111,10 @@ def _slot_chain(u, v, idx_t, tm, bn1, w2, b2, bn2):
 
     ``idx_t`` is the slot's (tm,) neighbor indices (callers slice it out
     of the idx block — statically in the unrolled forward, dynamically in
-    the fori_loop backward). Every pass derives from this single helper so
-    recomputed values are bitwise-identical across passes (required for
-    the max-tie masks). Returns dict of the intermediates each pass needs.
+    the fori_loop backward). Every pass derives from this single helper;
+    max routing is keyed on the forward-emitted slot map, NOT on bitwise
+    recompute equality (see module doc — the round-4 on-chip failure).
+    Returns dict of the intermediates each pass needs.
     """
     mu1, r1, g1, be1 = bn1
     onehot, rows = _gather_v(v, idx_t, tm)
@@ -184,17 +193,27 @@ def _stats2_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref,
 
 
 def _apply_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
-                  out_ref, *, k, tm):
-    """Pass C: out_i = max_t h2."""
+                  out_ref, slot_ref, *, k, tm):
+    """Pass C: out_i = max_t h2, plus the f32 argmax slot index per
+    (row, channel) — the backward passes key max-routing on this map
+    instead of recomputing h2 and comparing bitwise (see module doc)."""
     u, v = u_ref[0], v_ref[0]
     bn1 = tuple(bn1_ref[i] for i in range(4))
     bn2 = tuple(bn2_ref[i] for i in range(4))
     w2, b2 = w2_ref[...], b2_ref[...]
     acc = None
+    slot = None
     for t in range(k):
         c = _slot_chain(u, v, idx_ref[0, t, :], tm, bn1, w2, b2, bn2)
-        acc = c["h2"] if acc is None else jnp.maximum(acc, c["h2"])
+        if acc is None:
+            acc = c["h2"]
+            slot = jnp.zeros_like(acc)
+        else:
+            better = c["h2"] > acc
+            acc = jnp.where(better, c["h2"], acc)
+            slot = jnp.where(better, jnp.float32(t), slot)
     out_ref[0] = acc
+    slot_ref[0] = slot
 
 
 # ---------------------------------------------------------------------------
@@ -218,20 +237,8 @@ def _slot_idx(idx_all, t, tm: int):
     return row.reshape((tm,)).astype(jnp.int32)
 
 
-def _tie_scale(u, v, idx_all, bn1, w2, b2, bn2, out, dout, mask, k, tm):
-    """dout split evenly among argmax ties: dout * mask / count."""
-
-    def body(t, count):
-        c = _slot_chain(u, v, _slot_idx(idx_all, t, tm), tm, bn1, w2, b2,
-                        bn2)
-        return count + (c["h2"] == out).astype(jnp.float32)
-
-    count = jax.lax.fori_loop(0, k, body, jnp.zeros_like(out))
-    return dout / jnp.maximum(count, 1.0) * mask
-
-
 def _bwd2_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
-                 out_ref, dout_ref, sa_ref, sb_ref, *, k, tm, n):
+                 slot_ref, dout_ref, sa_ref, sb_ref, *, k, tm, n):
     """Pass D: BN2-backward global sums sa2 = sum(dy2), sb2 = sum(dy2*xhat2)."""
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
@@ -244,17 +251,16 @@ def _bwd2_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
     bn1 = tuple(bn1_ref[i] for i in range(4))
     bn2 = tuple(bn2_ref[i] for i in range(4))
     w2, b2 = w2_ref[...], b2_ref[...]
-    out, dout = out_ref[0], dout_ref[0]
+    slot, dout = slot_ref[0], dout_ref[0]
     idx_all = idx_ref[0]
     mask = _row_mask(pl.program_id(1), tm, n)
-    scale = _tie_scale(u, v, idx_all, bn1, w2, b2, bn2, out, dout, mask,
-                       k, tm)
+    scale = dout * mask
 
     def body(t, carry):
         sa, sb = carry
         c = _slot_chain(u, v, _slot_idx(idx_all, t, tm), tm, bn1, w2, b2,
                         bn2)
-        dh2 = (c["h2"] == out).astype(jnp.float32) * scale
+        dh2 = (slot == t.astype(jnp.float32)).astype(jnp.float32) * scale
         dy2 = dh2 * (c["y2"] > 0.0)
         return (sa + jnp.sum(dy2, axis=0, keepdims=True),
                 sb + jnp.sum(dy2 * c["xhat2"], axis=0, keepdims=True))
@@ -266,7 +272,7 @@ def _bwd2_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
 
 
 def _bwd_mid_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
-                    out_ref, dout_ref, m2_ref, dw2_ref, db2_ref,
+                    slot_ref, dout_ref, m2_ref, dw2_ref, db2_ref,
                     sa_ref, sb_ref, *, k, tm, n):
     """Pass E: BN2-corrected dpre2 -> dW2, db2, and BN1-backward sums.
 
@@ -288,19 +294,18 @@ def _bwd_mid_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
     bn2 = tuple(bn2_ref[i] for i in range(4))
     _, r2, g2, _ = bn2
     w2, b2 = w2_ref[...], b2_ref[...]
-    out, dout = out_ref[0], dout_ref[0]
+    slot, dout = slot_ref[0], dout_ref[0]
     idx_all = idx_ref[0]
     ma2, mb2 = m2_ref[0], m2_ref[1]
     mask = _row_mask(pl.program_id(1), tm, n)
-    scale = _tie_scale(u, v, idx_all, bn1, w2, b2, bn2, out, dout, mask,
-                       k, tm)
+    scale = dout * mask
     a2 = g2 * r2
 
     def body(t, carry):
         dw2, db2, sa, sb = carry
         c = _slot_chain(u, v, _slot_idx(idx_all, t, tm), tm, bn1, w2, b2,
                         bn2)
-        dh2 = (c["h2"] == out).astype(jnp.float32) * scale
+        dh2 = (slot == t.astype(jnp.float32)).astype(jnp.float32) * scale
         dy2 = dh2 * (c["y2"] > 0.0)
         dpre2 = a2 * (dy2 - ma2 - c["xhat2"] * mb2) * mask
         dw2 = dw2 + jax.lax.dot_general(
@@ -328,7 +333,7 @@ def _bwd_mid_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
 
 
 def _bwd_in_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
-                   out_ref, dout_ref, m2_ref, m1_ref, du_ref, dv_ref,
+                   slot_ref, dout_ref, m2_ref, m1_ref, du_ref, dv_ref,
                    *, k, tm, n):
     """Pass F: BN1-corrected dpre1 -> dU (strip) and dV (scatter via
     onehot^T matmul, accumulated per batch element)."""
@@ -344,13 +349,12 @@ def _bwd_in_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
     _, r1, g1, _ = bn1
     _, r2, g2, _ = bn2
     w2, b2 = w2_ref[...], b2_ref[...]
-    out, dout = out_ref[0], dout_ref[0]
+    slot, dout = slot_ref[0], dout_ref[0]
     idx_all = idx_ref[0]
     ma2, mb2 = m2_ref[0], m2_ref[1]
     ma1, mb1 = m1_ref[0], m1_ref[1]
     mask = _row_mask(pl.program_id(1), tm, n)
-    scale = _tie_scale(u, v, idx_all, bn1, w2, b2, bn2, out, dout, mask,
-                       k, tm)
+    scale = dout * mask
     a1 = g1 * r1
     a2 = g2 * r2
 
@@ -358,7 +362,7 @@ def _bwd_in_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
         du, dv = carry
         c = _slot_chain(u, v, _slot_idx(idx_all, t, tm), tm, bn1, w2, b2,
                         bn2)
-        dh2 = (c["h2"] == out).astype(jnp.float32) * scale
+        dh2 = (slot == t.astype(jnp.float32)).astype(jnp.float32) * scale
         dy2 = dh2 * (c["y2"] > 0.0)
         dpre2 = a2 * (dy2 - ma2 - c["xhat2"] * mb2) * mask
         dh1 = jax.lax.dot_general(
@@ -501,13 +505,15 @@ def _fused_fwd_impl(f, idx, w1, b1, g1, be1, w2, b2, g2, be2,
     r2 = jax.lax.rsqrt(var2 + eps)
     bn2 = _channel_rows(mu2, r2, g2, be2)
 
-    out_pad = _pallas(
+    oc_spec = pl.BlockSpec((1, tm, c2), lambda bi, i: (bi, i, 0),
+                           memory_space=pltpu.VMEM)
+    out_pad, slot_pad = _pallas(
         _apply_kernel, grid,
         [u_spec, v_spec, i_spec, _table_spec(4, c1),
          _table_spec(c1, c2), _table_spec(1, c2), _table_spec(4, c2)],
-        pl.BlockSpec((1, tm, c2), lambda bi, i: (bi, i, 0),
-                     memory_space=pltpu.VMEM),
-        jax.ShapeDtypeStruct((b, np_, c2), jnp.float32),
+        [oc_spec, oc_spec],
+        [jax.ShapeDtypeStruct((b, np_, c2), jnp.float32),
+         jax.ShapeDtypeStruct((b, np_, c2), jnp.float32)],
         interpret, k=k, tm=tm,
     )(u, v, idxT, bn1, w2f, b2f, bn2)
 
@@ -515,7 +521,7 @@ def _fused_fwd_impl(f, idx, w1, b1, g1, be1, w2, b2, g2, be2,
     stats = (mu1, var1, mu2, var2)
     # residuals must be a pytree of ARRAYS (static ints are re-derived
     # from shapes in the bwd rule; dtypes ride as zero-size tokens)
-    resid = (ff, a_w, q_w, u, v, idxT, bn1, bn2, w2f, b2f, out_pad,
+    resid = (ff, a_w, q_w, u, v, idxT, bn1, bn2, w2f, b2f, slot_pad,
              jnp.zeros((0,), f.dtype), jnp.zeros((0,), w1.dtype))
     return out, stats, resid
 
@@ -528,7 +534,7 @@ def _fused_fwd_rule(f, idx, w1, b1, g1, be1, w2, b2, g2, be2,
 
 
 def _fused_bwd_rule(eps, tm_arg, interpret, saved, cotangents):
-    (ff, a_w, q_w, u, v, idxT, bn1, bn2, w2f, b2f, out_pad,
+    (ff, a_w, q_w, u, v, idxT, bn1, bn2, w2f, b2f, slot_pad,
      f_tok, w_tok) = saved
     f_dtype, w_dtype = f_tok.dtype, w_tok.dtype
     dout, _dstats = cotangents  # stats are non-differentiable aux outputs
@@ -554,7 +560,7 @@ def _fused_bwd_rule(eps, tm_arg, interpret, saved, cotangents):
         [_table_spec(1, c2), _table_spec(1, c2)],
         [_acc_shape(1, c2), _acc_shape(1, c2)],
         interpret, k=k, tm=tm, n=n,
-    )(u, v, idxT, bn1, w2f, b2f, bn2, out_pad, dout_pad)
+    )(u, v, idxT, bn1, w2f, b2f, bn2, slot_pad, dout_pad)
     m2 = jnp.concatenate([sa2, sb2], axis=0) / m_count  # (2, C2)
 
     dw2, db2, sa1, sb1 = _pallas(
@@ -567,7 +573,7 @@ def _fused_bwd_rule(eps, tm_arg, interpret, saved, cotangents):
         [_acc_shape(c1, c2), _acc_shape(1, c2),
          _acc_shape(1, c1), _acc_shape(1, c1)],
         interpret, k=k, tm=tm, n=n,
-    )(u, v, idxT, bn1, w2f, b2f, bn2, out_pad, dout_pad, m2)
+    )(u, v, idxT, bn1, w2f, b2f, bn2, slot_pad, dout_pad, m2)
     m1 = jnp.concatenate([sa1, sb1], axis=0) / m_count  # (2, C1)
 
     du_pad, dv_pad = _pallas(
@@ -582,7 +588,7 @@ def _fused_bwd_rule(eps, tm_arg, interpret, saved, cotangents):
         [jax.ShapeDtypeStruct((b, np_, c1), jnp.float32),
          jax.ShapeDtypeStruct((b, np_, c1), jnp.float32)],
         interpret, k=k, tm=tm, n=n,
-    )(u, v, idxT, bn1, w2f, b2f, bn2, out_pad, dout_pad, m2, m1)
+    )(u, v, idxT, bn1, w2f, b2f, bn2, slot_pad, dout_pad, m2, m1)
     du = du_pad[:, :n, :]
     dv = dv_pad[:, :n, :]
 

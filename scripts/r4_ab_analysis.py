@@ -28,15 +28,31 @@ import numpy as np
 from alignnet3d_tpu.data.provider import getDataFiles
 from alignnet3d_tpu.geometry import str_to_np
 
-BASE = "/root/data/SynthCars40k"
 RUNS = {"base": "SynthCars40kBaseR4", "comp": "SynthCars40kCompR4"}
 
 
 def latest_eval_dir(run):
+    """Latest NETWORK-ONLY eval dir of a run's val split.
+
+    Eval dirs produced with network_refine/ICP on origin-reset the
+    predicted s2 centers (trainer.py origin-reset, reference
+    train.py:483-484 semantics) — their pred_s2_pc*centers.npy are
+    all-zeros and meaningless for the per-view center metric (the
+    round-4 80k decision artifact read those zeros as 407cm medians).
+    Scan from the latest eval backwards and refuse refined dirs.
+    """
     vd = f"/root/data/runs/{run}/val"
     evals = sorted(p for p in os.listdir(vd) if p.startswith("eval")
                    and os.path.isfile(f"{vd}/{p}/eval_180.json"))
-    return f"{vd}/{evals[-1]}"
+    for p in reversed(evals):
+        c1 = np.load(f"{vd}/{p}/pred_s2_pc1centers.npy")
+        if np.any(np.abs(c1) > 1e-9):
+            return f"{vd}/{p}"
+        print(f"  (skipping {vd}/{p}: refined eval, centers origin-reset)",
+              flush=True)
+    raise SystemExit(
+        f"no network-only eval dir in {vd} — re-run eval WITHOUT "
+        f"--refineICP/network_refine to get per-view center medians")
 
 
 def main():
@@ -55,13 +71,22 @@ def main():
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
 
-    val = getDataFiles(f"{BASE}/split/val.txt")
-    metas = [json.load(open(f"{BASE}/meta/{i:08d}.json")) for i in val]
-    gt1 = np.stack([str_to_np(m["start_position"]).reshape(3) for m in metas])
-    gt2 = np.stack([str_to_np(m["end_position"]).reshape(3) for m in metas])
+    def gt_for(run):
+        # derive GT from the RUN's own dataset (runs differ in basepath:
+        # 40k arms vs the 80k flagship vs fresh-777 evals)
+        cfg = json.load(open(f"/root/data/runs/{run}/config.json"))
+        base = cfg["data"]["basepath"]
+        val = getDataFiles(f"{base}/split/val.txt")
+        metas = [json.load(open(f"{base}/meta/{i:08d}.json")) for i in val]
+        g1 = np.stack([str_to_np(m["start_position"]).reshape(3)
+                       for m in metas])
+        g2 = np.stack([str_to_np(m["end_position"]).reshape(3)
+                       for m in metas])
+        return g1, g2
 
     out = {}
     for arm, run in runs.items():
+        gt1, gt2 = gt_for(run)
         d = latest_eval_dir(run)
         c1 = np.load(f"{d}/pred_s2_pc1centers.npy")
         c2 = np.load(f"{d}/pred_s2_pc2centers.npy")

@@ -24,6 +24,11 @@ durs = [tot[e] - tot[e - 1] for e in sorted(tot) if e - 1 in tot]
 print(int(min(durs)) if durs else -1)
 EOF
 )
+# fail CLOSED: any gate-evaluation error (empty/non-numeric SEC) skips
+# the expensive retrain instead of enabling it (round-4 advisor finding)
+case "$SEC" in
+    ''|*[!0-9-]*) echo "[r4_dgcnn_retrain] gate evaluation failed (SEC='$SEC') — skipping"; exit 1 ;;
+esac
 if [ "$SEC" -lt 0 ]; then
     echo "[r4_dgcnn_retrain] no fused-probe epoch timing — skipping"
     exit 1

@@ -151,6 +151,39 @@ def test_voxel_resample_config_pickup(trained):
     assert aligner2.voxel_resample is None
 
 
+def test_denoise_serving(trained, rng):
+    """data.denoise at serving: a far occluder cluster is dropped before
+    resampling (same component filter the training view applies), and
+    from_checkpoint adopts the config block (round-4 advisor finding:
+    train/serve preprocessing skew)."""
+    import json as _json
+
+    from alignnet3d_tpu.api import Aligner
+
+    config_path, ckpt, base = trained
+    aligner = Aligner.from_checkpoint(config_path, ckpt, batch_size=4,
+                                      denoise=(0.5, "central"))
+    target = rng.normal(size=(50, 3)).astype(np.float32) * 0.3 + [6, 2, 0]
+    occluder = rng.normal(size=(30, 3)).astype(np.float32) * 0.3 + [20, 9, 0]
+    cloud = np.concatenate([target, occluder])
+    out = aligner._resample([cloud, np.zeros((0, 3), np.float32)])
+    # every kept point comes from the central (target) component
+    assert np.all(np.linalg.norm(out[0] - [6, 2, 0], axis=-1) < 3.0)
+    assert np.all(out[1] == 0.0)
+    res = aligner.align([cloud], [cloud])
+    assert np.all(np.isfinite(res["transforms"]))
+
+    # config pickup mirrors the voxel_resample pattern
+    cfg = _json.load(open(config_path))
+    cfg["data"]["denoise"] = {"cell": 0.4, "keep": "largest"}
+    dn_cfg = config_path.replace("config.json", "config_denoise.json")
+    _json.dump(cfg, open(dn_cfg, "w"))
+    a2 = Aligner.from_checkpoint(dn_cfg, ckpt)
+    assert a2.denoise == (0.4, "largest")
+    a3 = Aligner.from_checkpoint(dn_cfg, ckpt, denoise=None)
+    assert a3.denoise is None
+
+
 def test_network_refine_gate_zero_is_identity(trained, rng):
     """With an impossible trust region nothing is accepted: the refined
     TRANSFORMS equal the plain ones (re-expressed world-frame, so t/a
