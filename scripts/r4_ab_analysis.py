@@ -62,6 +62,10 @@ def main():
     if "--arm" in sys.argv:
         # comparison-only mode: base + the named arms, separate output
         runs = {"base": RUNS["base"]}
+        if "--base" in sys.argv:
+            # compare against a different baseline run (e.g. the 80k
+            # R4Base flagship for the 80k center-sup readout)
+            runs = {"base": sys.argv[sys.argv.index("--base") + 1]}
         for i, a in enumerate(sys.argv):
             if a == "--arm":
                 name, run = sys.argv[i + 1].split("=", 1)

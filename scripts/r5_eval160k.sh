@@ -1,0 +1,47 @@
+#!/bin/bash
+# Round-5 flagship eval rows for the 160k center-sup run: headline (own
+# val, network refine + p2plane — directly comparable to the round-4
+# 20.15/68.35/90.80 row), fresh seed-777 generalization, and a
+# NETWORK-ONLY row (network_refine disabled) whose eval dir carries
+# honest per-view s2-center predictions for the center-median diagnostic
+# (VERDICT r4 item 2: refined evals origin-reset centers).
+# Evals the LATEST numbered checkpoint; rc=1 until the final epoch
+# exists so a queue replay re-evals after the resumed training finishes.
+set -eu
+cd "$(dirname "$0")/.."
+N=SynthCars160kCenterSup
+RUN=/root/data/runs/$N
+E=$(ls "$RUN" | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1)
+if [ -z "$E" ]; then
+    echo "[r5_eval160k] no checkpoint in $RUN"
+    exit 1
+fi
+echo "[r5_eval160k] $N at epoch $E"
+WANT=$(python -c "import json; print(json.load(open('configs/$N.json'))['training']['num_epochs'] - 1)")
+
+python - "$N" <<'PYEOF'
+import json, sys
+name = sys.argv[1]
+cfg = json.load(open(f"configs/{name}.json"))
+fresh = json.loads(json.dumps(cfg))
+fresh["data"]["basepath"] = "/root/data/SynthCarsValFresh"
+json.dump(fresh, open(f"/root/data/{name}Fresh_eval.json", "w"), indent=4)
+netonly = json.loads(json.dumps(cfg))
+netonly["evaluation"]["network_refine"]["enabled"] = False
+json.dump(netonly, open(f"/root/data/{name}NetOnly_eval.json", "w"), indent=4)
+print("variant configs written")
+PYEOF
+
+echo "== headline: own val, network refine + p2plane =="
+timeout 5400 python scripts/eval_with_config.py "configs/$N.json" $E "$RUN" \
+    --refineICP --method p2plane
+echo "== fresh seed-777 val =="
+timeout 5400 python scripts/eval_with_config.py "/root/data/${N}Fresh_eval.json" $E "$RUN" \
+    --refineICP --method p2plane
+echo "== network-only (center diagnostic source) =="
+timeout 5400 python scripts/eval_with_config.py "/root/data/${N}NetOnly_eval.json" $E "$RUN"
+
+if [ "$E" -lt "$WANT" ]; then
+    echo "[r5_eval160k] flagship incomplete ($E < $WANT) — rows above are interim"
+    exit 1
+fi
