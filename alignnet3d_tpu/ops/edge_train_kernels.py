@@ -32,11 +32,14 @@ scatter (bwd) as ``onehot^T @ dpre1`` — the backward direction replaces
 XLA's serialized scatter-add for dV, the suspected residual cost.
 
 Max-over-k gradients route the full cotangent to the FIRST argmax slot,
-keyed on a slot-index map the forward pass emits (round-5 fix: the
+keyed on a slot-index map the forward pass emits (round-5 fix #1: the
 round-4 backward recomputed h2 and relied on bitwise ``h2 == out``
 equality against the forward kernel's output, which does not survive
 Mosaic codegen differences between the unrolled forward and fori_loop
-backward — on-chip grad_rel_err 1.41 while interpret mode passed).
+backward — on-chip grad_rel_err 1.41 while interpret mode passed;
+round-5 fix #2: the backward's dynamic slot-row extraction must stay in
+INTEGER arithmetic, because MXU matmuls round f32 inputs to bf16 and
+corrupt indices above 256 — see ``_slot_idx``).
 ``jnp.max`` splits ties evenly instead, but exact positive ties between
 DISTINCT neighbors are measure-zero in f32, and duplicate-index ties
 scatter to identical U/V rows so the accumulated gradients coincide.
@@ -225,16 +228,19 @@ def _slot_idx(idx_all, t, tm: int):
     """Dynamic (tm,) slot-t row of the (k, tm) idx block value.
 
     Mosaic TC does not lower ``dynamic_slice`` on values (on-chip smoke
-    record, round 4), so the row is selected with a one-hot
-    (1, k) @ (k, tm) matmul — the same iota/compare/dot primitive set
-    ``_gather_v`` already lowers; exact for indices < 2**24.
+    record, round 4), and the round-5 first cut — a one-hot
+    (1, k) @ (k, tm) f32 matmul — was WRONG ON SILICON for N > 256:
+    MXU matmuls round f32 inputs to bf16 unless precision is raised
+    (8 mantissa bits — integers above 256 are unrepresentable), so
+    neighbor indices 257+ came back off-by-one and the backward gathered
+    the wrong point rows (on-chip grad_rel_err 1.48 at N=512 while
+    interpret passed; the nn_argmin bf16-pass failure class again).
+    The row is instead selected with an INTEGER masked reduction on the
+    VPU — no matmul, no rounding, exact for all int32 indices.
     """
     k = idx_all.shape[0]
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) == t)
-    row = jax.lax.dot_general(
-        sel.astype(jnp.float32), idx_all.astype(jnp.float32),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    return row.reshape((tm,)).astype(jnp.int32)
+    sel = jax.lax.broadcasted_iota(jnp.int32, (k, tm), 0) == t
+    return jnp.sum(jnp.where(sel, idx_all, 0), axis=0)
 
 
 def _bwd2_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
