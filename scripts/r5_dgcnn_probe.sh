@@ -20,8 +20,12 @@ import json
 try:
     r = json.load(open("docs/onchip_smoke.json"))
     c = r["checks"].get("edge_train_fused", {})
-    print("yes" if (c.get("ok") and c.get("fused_wins")) else
-          ("exact" if c.get("ok") else "no"))
+    # the round-5 recheck adds a flagship-shape (N=1024) exactness row;
+    # if present it must pass too (index-corruption class scales with N)
+    c2 = r["checks"].get("edge_train_fused_n1024", {"ok": True})
+    good = c.get("ok") and c2.get("ok")
+    print("yes" if (good and c.get("fused_wins")) else
+          ("exact" if good else "no"))
 except Exception:
     print("no")
 EOF
@@ -41,8 +45,18 @@ c["model"]["options"]["dgcnn_fused_train"] = True
 json.dump(c, open(p, "w"), indent=4)
 print("probe config written:", p)
 EOF
-echo "== probe SynthCars40kDGCNNFusedProbe_r5 (fused ON) =="
-timeout 3000 python train.py train --config /root/data/SynthCars40kDGCNNFusedProbe_r5.json \
+DEADLINE=$(cat /root/data/r5_deadline.txt 2>/dev/null || echo 0)
+BUDGET=3000
+if [ "$DEADLINE" -gt 0 ]; then
+    LEFT=$((DEADLINE - $(date +%s)))
+    if [ "$LEFT" -lt 900 ]; then
+        echo "[r5_dgcnn_probe] only ${LEFT}s left — skipping probe"
+        exit 1
+    fi
+    [ $((LEFT - 300)) -lt "$BUDGET" ] && BUDGET=$((LEFT - 300))
+fi
+echo "== probe SynthCars40kDGCNNFusedProbe_r5 (fused ON, ${BUDGET}s box) =="
+timeout "$BUDGET" python train.py train --config /root/data/SynthCars40kDGCNNFusedProbe_r5.json \
     > /root/data/probe_SynthCars40kDGCNNFusedProbe_r5.log 2>&1 || true
 grep -E "Finished epoch" /root/data/probe_SynthCars40kDGCNNFusedProbe_r5.log || true
 echo "== reference probes (same box, round-4 warm session) =="

@@ -9,6 +9,20 @@
 # exists so a queue replay re-evals after the resumed training finishes.
 set -eu
 cd "$(dirname "$0")/.."
+
+# First claim of the post-flagship TPU slot: revalidate smoke check 6
+# (fused edge-train backward) after the round-5 integer slot-select fix,
+# and commit the record — the dgcnn_probe gate reads it (advisor r4
+# high finding: configs stay false until a passing record is committed).
+if [ ! -f /root/data/markers/smoke6_r5.done ]; then
+    timeout 1800 python scripts/smoke6_recheck.py \
+        || echo "[r5_eval160k] smoke6 recheck FAILED (see docs/onchip_smoke.json)"
+    git add docs/onchip_smoke.json
+    git commit -q -m "Re-record on-chip smoke check 6 after the integer slot-select fix" \
+        || true
+    touch /root/data/markers/smoke6_r5.done
+fi
+
 N=SynthCars160kCenterSup
 RUN=/root/data/runs/$N
 E=$(ls "$RUN" | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1)

@@ -11,6 +11,16 @@
 set -eu
 cd "$(dirname "$0")/.."
 
+DEADLINE=$(cat /root/data/r5_deadline.txt 2>/dev/null || echo 0)
+left() {
+    if [ "$DEADLINE" -gt 0 ]; then echo $((DEADLINE - $(date +%s)));
+    else echo 86400; fi
+}
+if [ "$(left)" -lt 900 ]; then
+    echo "[r5_hard_rows] only $(left)s left — skipping"
+    exit 1
+fi
+
 N=SynthCars160kCenterSup
 RUN=/root/data/runs/$N
 E=$(ls "$RUN" 2>/dev/null | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1 || true)
@@ -51,18 +61,43 @@ json.dump(ft, open("/root/data/HardFT_r5.json", "w"), indent=4)
 print("variant configs written")
 PYEOF
 
-for TAG in Plain Dn50C Dn30C Dn50L; do
+# priority order: baseline + best-guess denoise first; cell/keep sweep
+# rows only if the window allows (deadline-aware — VERDICT r4 item 4's
+# must-haves are the Plain baseline, one denoise row, and the FT row)
+for TAG in Plain Dn50C; do
     echo "== Hard $TAG (network-only) =="
     timeout 3600 python scripts/eval_with_config.py "/root/data/Hard${TAG}_eval.json" $E "$RUN"
 done
-echo "== Hard Dn50 + network refine + p2plane =="
-timeout 3600 python scripts/eval_with_config.py "/root/data/HardDn50Ref_eval.json" $E "$RUN" \
-    --refineICP --method p2plane
+for TAG in Dn30C Dn50L; do
+    if [ "$(left)" -lt 5400 ]; then
+        echo "[r5_hard_rows] $(left)s left — skipping sweep row $TAG"
+        continue
+    fi
+    echo "== Hard $TAG (network-only) =="
+    timeout 3600 python scripts/eval_with_config.py "/root/data/Hard${TAG}_eval.json" $E "$RUN"
+done
+if [ "$(left)" -gt 4500 ]; then
+    echo "== Hard Dn50 + network refine + p2plane =="
+    timeout 3600 python scripts/eval_with_config.py "/root/data/HardDn50Ref_eval.json" $E "$RUN" \
+        --refineICP --method p2plane
+else
+    echo "[r5_hard_rows] $(left)s left — skipping refined row (window too small)"
+fi
 
-echo "== HardFT fine-tune (warm-start $N/model-$E, denoise on) =="
-timeout 5400 bash scripts/train_supervised.sh /root/data/HardFT_r5.json 1800
+if [ "$(left)" -lt 2700 ]; then
+    echo "[r5_hard_rows] $(left)s left — no room for the FT train+evals"
+    exit 1
+fi
+FTBUDGET=$(( $(left) - 1200 )); [ "$FTBUDGET" -gt 5400 ] && FTBUDGET=5400
+echo "== HardFT fine-tune (warm-start $N/model-$E, denoise on, ${FTBUDGET}s box) =="
+timeout "$FTBUDGET" bash scripts/train_supervised.sh /root/data/HardFT_r5.json 1800 \
+    || echo "[r5_hard_rows] FT time-boxed — evaluating what trained"
 FTRUN=/root/data/runs/HardFT_r5
 EF=$(ls "$FTRUN" | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1)
+if [ -z "$EF" ]; then
+    echo "[r5_hard_rows] no FT checkpoint — skipping FT rows"
+    exit 1
+fi
 echo "== HardFT network-only (its own config evals with denoise) =="
 python - <<'PYEOF'
 import json
