@@ -61,6 +61,12 @@ class ModelSpec:
     # OFF until an on-chip record lands (docs/onchip_smoke.json);
     # opt in via model.options.dgcnn_fused_train
     dgcnn_fused_train: bool = False
+    # Remat-stable max-pool gradient routing (ops/stable_max.py): works
+    # around XLA's reduce_max VJP dropping cotangents under jit (round-5
+    # finding, tests/test_stable_max.py). Forward values identical; the
+    # training gradient routes to the first argmax slot. Opt in via
+    # model.options.stable_max_grad until an on-chip A/B lands.
+    stable_max_grad: bool = False
     # Per-view canonical shape-completion decoder (framework addition,
     # 0 = off = reference semantics). When > 0, each view's embedding
     # additionally decodes ``completion_points`` canonical-frame points,
@@ -102,6 +108,9 @@ class ModelSpec:
             dgcnn_fused_train=bool(
                 opts.has("dgcnn_fused_train") and opts.dgcnn_fused_train
             ),
+            stable_max_grad=bool(
+                opts.has("stable_max_grad") and opts.stable_max_grad
+            ),
             completion_points=(
                 int(opts.completion_points)
                 if opts.has("completion_points") else 0
@@ -130,6 +139,7 @@ class TransformerNet(nn.Module):
             approx_knn=self.spec.dgcnn_approx_knn,
             knn_impl=self.spec.dgcnn_knn_impl,
             fused_train=self.spec.dgcnn_fused_train,
+            stable_max_grad=self.spec.stable_max_grad,
         )(points, train, momentum)
         head_width = 3 + (2 * self.spec.num_bins if self.with_angles else 0)
         return MLPHead(
@@ -185,6 +195,7 @@ class EmbeddingNet(nn.Module):
             approx_knn=spec.dgcnn_approx_knn,
             knn_impl=spec.dgcnn_knn_impl,
             fused_train=spec.dgcnn_fused_train,
+            stable_max_grad=spec.stable_max_grad,
         )(normalized, train, momentum)
 
         completion = None

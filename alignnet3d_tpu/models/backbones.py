@@ -23,6 +23,19 @@ import jax.numpy as jnp
 from alignnet3d_tpu.models.batchnorm import EmaBatchNorm
 
 
+def _pool(stable: bool):
+    """Max-pool op for the training graph: ``stable_max`` routes the
+    gradient through a stop-gradient'd argmax one-hot instead of XLA's
+    equality-mask reduce_max VJP, which jit can corrupt by
+    rematerializing the operand (ops/stable_max.py has the full account
+    and measured failure). Forward values are identical either way."""
+    if stable:
+        from alignnet3d_tpu.ops.stable_max import stable_max
+
+        return stable_max
+    return jnp.max
+
+
 def _dense(features: int, dtype, name: str | None = None) -> nn.Dense:
     # xavier-uniform kernels + zero bias match the reference init
     # (tf_util.py:24-49: xavier_initializer, constant 0 biases).
@@ -46,15 +59,20 @@ class PointNetBackbone(nn.Module):
 
     layer_sizes: Sequence[int]
     dtype: jnp.dtype = jnp.float32
+    # remat-stable max-grad routing (ops/stable_max.py — XLA's reduce_max
+    # VJP can drop cotangents under jit, round-5 finding). Train-graph
+    # only; forward values are identical.
+    stable_max_grad: bool = False
 
     @nn.compact
     def __call__(self, points: jax.Array, train: bool, momentum) -> jax.Array:
+        pool = _pool(self.stable_max_grad and train)
         x = points.astype(self.dtype)
         for i, width in enumerate(self.layer_sizes):
             x = _dense(width, self.dtype, name=f"conv{i + 1}")(x)
             x = EmaBatchNorm(dtype=self.dtype, name=f"bn{i + 1}")(x, train, momentum)
             x = nn.relu(x)
-        return jnp.max(x, axis=1)
+        return pool(x, 1)
 
 
 class _DenseParams(nn.Module):
@@ -138,10 +156,13 @@ class DGCNNBackbone(nn.Module):
     # XLA graph with running stats); requires exactly two edge layers
     # (all shipped configs). Param tree is identical either way.
     fused_train: bool = False
+    # remat-stable max-grad routing (ops/stable_max.py), train-graph only
+    stable_max_grad: bool = False
 
     @nn.compact
     def __call__(self, points: jax.Array, train: bool, momentum) -> jax.Array:
         assert len(self.layer_sizes) >= 2, "dgcnn needs >= 2 layers"
+        pool = _pool(self.stable_max_grad and train)
         from alignnet3d_tpu.ops.knn import (
             gather_rows,
             knn,
@@ -194,7 +215,7 @@ class DGCNNBackbone(nn.Module):
             h = EmaBatchNorm(dtype=self.dtype,
                              name=f"bn{i + 1}")(h, train, momentum)
             h = nn.relu(h)
-            return jnp.max(h, axis=1)
+            return pool(h, 1)
 
         # First edge conv via the linear split (docs/DESIGN.md §4b-ii):
         # conv1 is linear in the edge feature [x_i, x_j - x_i], so
@@ -218,12 +239,12 @@ class DGCNNBackbone(nn.Module):
             h = _dense(width, self.dtype, name=f"conv{i + 1}")(h)
             h = EmaBatchNorm(dtype=self.dtype, name=f"bn{i + 1}")(h, train, momentum)
             h = nn.relu(h)
-        h = jnp.max(h, axis=2)  # max over neighbors -> (B, N, F)
+        h = pool(h, 2)  # max over neighbors -> (B, N, F)
         i = len(self.layer_sizes) - 1
         h = _dense(self.layer_sizes[-1], self.dtype, name=f"conv{i + 1}")(h)
         h = EmaBatchNorm(dtype=self.dtype, name=f"bn{i + 1}")(h, train, momentum)
         h = nn.relu(h)
-        return jnp.max(h, axis=1)
+        return pool(h, 1)
 
 
 class MLPHead(nn.Module):
@@ -254,11 +275,14 @@ class MLPHead(nn.Module):
 def make_backbone(backbone: str, layer_sizes: Sequence[int], dtype,
                   approx_knn: bool = False,
                   knn_impl: str = "xla",
-                  fused_train: bool = False) -> nn.Module:
+                  fused_train: bool = False,
+                  stable_max_grad: bool = False) -> nn.Module:
     if backbone == "pointnet":
-        return PointNetBackbone(layer_sizes=tuple(layer_sizes), dtype=dtype)
+        return PointNetBackbone(layer_sizes=tuple(layer_sizes), dtype=dtype,
+                                stable_max_grad=stable_max_grad)
     if backbone == "dgcnn":
         return DGCNNBackbone(layer_sizes=tuple(layer_sizes), dtype=dtype,
                              approx_knn=approx_knn, knn_impl=knn_impl,
-                             fused_train=fused_train)
+                             fused_train=fused_train,
+                             stable_max_grad=stable_max_grad)
     raise ValueError(f"unknown backbone {backbone!r}")

@@ -1,0 +1,137 @@
+"""stable_max: remat-stable max-pool gradient routing (ops/stable_max.py).
+
+Covers the round-5 finding that ``jit(grad(...))`` of graphs that
+differentiate through ``jnp.max`` can drop gradient mass (XLA reduce_max
+VJP equality mask vs rematerialized operands — see the ops/stable_max.py
+module doc). The slow test reproduces the measured failure configuration
+(DGCNN edge stage, B4 N320 k20 C 64/128) and asserts the stable routing
+matches the EAGER gradient of the plain graph — the ground truth a
+central finite difference certified.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alignnet3d_tpu.ops.stable_max import stable_max
+
+
+def test_forward_matches_jnp_max():
+    rng = np.random.default_rng(0)
+    for shape, axis in [((4, 33, 7), 1), ((2, 5, 9, 3), 2), ((6, 8), 0),
+                        ((3, 17), -1)]:
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        np.testing.assert_array_equal(stable_max(x, axis),
+                                      jnp.max(x, axis=axis))
+    # exact ties (relu-style zero plateaus) pick the same value
+    x = jnp.zeros((3, 11, 5), jnp.float32)
+    np.testing.assert_array_equal(stable_max(x, 1), jnp.max(x, axis=1))
+    # bf16 dtype passes through
+    x = jnp.asarray(rng.normal(size=(2, 9, 4)), jnp.bfloat16)
+    np.testing.assert_array_equal(stable_max(x, 1), jnp.max(x, axis=1))
+
+
+def test_gradient_routes_to_first_argmax():
+    x = jnp.asarray([[1.0, 3.0, 3.0, 2.0],
+                     [0.0, -1.0, 0.0, -2.0]], jnp.float32)
+    g = jax.grad(lambda v: jnp.sum(stable_max(v, 1) * jnp.array([2.0, 5.0])))(x)
+    want = np.array([[0.0, 2.0, 0.0, 0.0],   # first of the tied maxima
+                     [5.0, 0.0, 0.0, 0.0]], np.float32)
+    np.testing.assert_array_equal(np.asarray(g), want)
+
+
+def test_jit_eager_gradient_identical_small():
+    """stable_max's gradient is the same under jit and eager (the plain
+    jnp.max path has no such guarantee on this XLA version)."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 64, 32)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(32, 16)) * 0.3, jnp.float32)
+
+    def loss(p):
+        h = jax.nn.relu(p @ w)
+        return jnp.sum(jnp.sin(stable_max(h, 1)))
+
+    ge = np.asarray(jax.grad(loss)(x))
+    gj = np.asarray(jax.jit(jax.grad(loss))(x))
+    np.testing.assert_allclose(gj, ge, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_edge_graph_jit_gradient_matches_eager_ground_truth():
+    """The measured round-5 failure case: on jax 0.9.0 CPU, the PLAIN
+    jnp.max edge graph's jit gradient diverged 33% max-norm from both its
+    eager gradient and central finite differences (zero argmax flips —
+    dropped cotangents, not tie ambiguity). The stable_max graph under
+    jit must match the plain graph's EAGER gradient (identical routing at
+    non-tied elements, and this data has no exact ties)."""
+    from alignnet3d_tpu.ops.knn import get_edge_feature, knn, \
+        pairwise_distance
+
+    rng = np.random.default_rng(5)
+    be, ne, ke = 4, 320, 20
+    p = jnp.asarray(rng.normal(size=(be, ne, 3)), jnp.float32)
+    idx = knn(pairwise_distance(p), ke)
+    w1 = jnp.asarray(rng.normal(size=(6, 64)) / 2.0, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(64, 128)) / 8.0, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(128,)) * 0.1, jnp.float32)
+    g1 = jnp.asarray(1.0 + 0.1 * rng.normal(size=(64,)), jnp.float32)
+    be1 = jnp.asarray(0.1 * rng.normal(size=(64,)), jnp.float32)
+    g2 = jnp.asarray(1.0 + 0.1 * rng.normal(size=(128,)), jnp.float32)
+    be2 = jnp.asarray(0.1 * rng.normal(size=(128,)), jnp.float32)
+
+    def h2_of(q):
+        e = get_edge_feature(q, idx)
+        pre1 = e @ w1 + b1
+        mu1 = jnp.mean(pre1, axis=(0, 1, 2))
+        v1 = jnp.mean(jnp.square(pre1), axis=(0, 1, 2)) - jnp.square(mu1)
+        h1 = jax.nn.relu((pre1 - mu1) * jax.lax.rsqrt(v1 + 1e-3) * g1 + be1)
+        pre2 = h1 @ w2 + b2
+        mu2 = jnp.mean(pre2, axis=(0, 1, 2))
+        v2 = jnp.mean(jnp.square(pre2), axis=(0, 1, 2)) - jnp.square(mu2)
+        return jax.nn.relu((pre2 - mu2) * jax.lax.rsqrt(v2 + 1e-3) * g2 + be2)
+
+    def loss_plain(q):
+        return jnp.sum(jnp.sin(jnp.max(h2_of(q), axis=2)))
+
+    def loss_stable(q):
+        return jnp.sum(jnp.sin(stable_max(h2_of(q), 2)))
+
+    ground = np.asarray(jax.grad(loss_plain)(p))  # eager == FD-certified
+    got = np.asarray(jax.jit(jax.grad(loss_stable))(p))
+    scale = np.abs(ground).max()
+    np.testing.assert_allclose(got / scale, ground / scale,
+                               rtol=0, atol=1e-4)
+
+
+def test_model_spec_flag_and_forward_parity():
+    """model.options.stable_max_grad reaches the spec, and the training
+    FORWARD is unchanged by the flag (same params, same outputs)."""
+    from alignnet3d_tpu import load_config
+    from alignnet3d_tpu.config import config_from_dict, namespace_to_dict
+    from alignnet3d_tpu.models import AlignNet, ModelSpec
+
+    cfg = load_config("configs/SynthCars.json")
+    d = namespace_to_dict(cfg, {})
+    d["model"]["options"]["stable_max_grad"] = True
+    d["model"]["num_points"] = 32
+    cfg2 = config_from_dict(d)
+    spec2 = ModelSpec.from_config(cfg2)
+    assert spec2.stable_max_grad
+    import dataclasses
+    spec1 = dataclasses.replace(spec2, stable_max_grad=False)
+
+    rng = np.random.default_rng(2)
+    x1 = jnp.asarray(rng.normal(size=(2, 32, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(2, 32, 3)), jnp.float32)
+    m1, m2 = AlignNet(spec1), AlignNet(spec2)
+    v = m1.init({"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)}, x1, x2, train=False)
+    o1, _ = m1.apply(v, x1, x2, train=True, mutable=["batch_stats"],
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    o2, _ = m2.apply(v, x1, x2, train=True, mutable=["batch_stats"],
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    for k in o1:
+        np.testing.assert_array_equal(np.asarray(o1[k]), np.asarray(o2[k]),
+                                      err_msg=k)
