@@ -63,18 +63,37 @@ def timed_ms(fn, feed, probe):
 
 def _check_edge_train_fused(record, timed_ms, rng, jnp, ptse, idxe,
                             w1, b1, w2, b2, be, ne, ke):
-    """Check 6: fused TRAINING edge stage (fwd+bwd custom VJP) vs XLA."""
+    """Check 6: fused TRAINING edge stage (fwd+bwd custom VJP) vs XLA.
+
+    The gradient REFERENCE is the naive graph with ``stable_max`` routing,
+    NOT plain ``jnp.max``: jit(grad(jnp.max-graph)) is itself wrong on
+    jax 0.9.0 (XLA reduce_max VJP drops cotangents under remat —
+    FD-proven, ops/stable_max.py + tests/test_stable_max.py), so the old
+    check compared the kernel against a broken reference. The naive
+    jnp.max variant is kept for TIMING (it is the production
+    alternative) and its gradient deviation from the stable reference is
+    recorded as ``xla_jit_max_vjp_err`` — the on-chip magnitude of the
+    XLA bug itself.
+
+    Gate metric is relative L2, not max-norm: on-chip the fused kernel's
+    h2 differs from XLA's by ~1e-2 (bf16 MXU passes), so near-tie argmax
+    flips between the two implementations are legitimate subgradient
+    differences that move O(1) cotangents on isolated elements — huge in
+    max-norm, negligible in L2. Systematic corruption (dropped mass,
+    wrong index rows) dominates L2. Max-norm is recorded as diagnostic.
+    """
     import jax
 
     from alignnet3d_tpu.ops.edge_train_kernels import fused_edge_stage_train
     from alignnet3d_tpu.ops.knn import get_edge_feature
+    from alignnet3d_tpu.ops.stable_max import stable_max
 
     g1 = jnp.asarray(1.0 + 0.1 * rng.normal(size=(64,)), jnp.float32)
     be1 = jnp.asarray(0.1 * rng.normal(size=(64,)), jnp.float32)
     g2 = jnp.asarray(1.0 + 0.1 * rng.normal(size=(128,)), jnp.float32)
     be2 = jnp.asarray(0.1 * rng.normal(size=(128,)), jnp.float32)
 
-    def xla_train_edge(p):
+    def xla_train_edge(p, pool=jnp.max):
         e = get_edge_feature(p, idxe)
         pre1 = e @ w1 + b1
         mu1 = jnp.mean(pre1, axis=(0, 1, 2))
@@ -84,7 +103,7 @@ def _check_edge_train_fused(record, timed_ms, rng, jnp, ptse, idxe,
         mu2 = jnp.mean(pre2, axis=(0, 1, 2))
         v2 = jnp.mean(jnp.square(pre2), axis=(0, 1, 2)) - jnp.square(mu2)
         h2 = jax.nn.relu((pre2 - mu2) * jax.lax.rsqrt(v2 + 1e-3) * g2 + be2)
-        return jnp.max(h2, axis=2)
+        return pool(h2, axis=2)
 
     def fused_train_edge(p):
         return fused_edge_stage_train(p, idxe, w1, b1, g1, be1,
@@ -95,10 +114,16 @@ def _check_edge_train_fused(record, timed_ms, rng, jnp, ptse, idxe,
     rel_t = float(np.max(np.abs(got_t - want_t)) / np.max(np.abs(want_t)))
 
     gw = np.asarray(jax.jit(jax.grad(
+        lambda p: jnp.sum(jnp.sin(xla_train_edge(p, stable_max)))))(ptse))
+    gw_naive = np.asarray(jax.jit(jax.grad(
         lambda p: jnp.sum(jnp.sin(xla_train_edge(p)))))(ptse))
     gg = np.asarray(jax.jit(jax.grad(
         lambda p: jnp.sum(jnp.sin(fused_train_edge(p)))))(ptse))
-    rel_g = float(np.max(np.abs(gg - gw)) / max(np.max(np.abs(gw)), 1e-9))
+    gw_n = max(float(np.linalg.norm(gw)), 1e-9)
+    rel_g = float(np.linalg.norm(gg - gw)) / gw_n
+    rel_g_max = float(np.max(np.abs(gg - gw)) /
+                      max(float(np.max(np.abs(gw))), 1e-9))
+    vjp_bug = float(np.linalg.norm(gw_naive - gw)) / gw_n
 
     def probe_g(o):
         return o[:, :1, :1] * 1e-9
@@ -109,6 +134,8 @@ def _check_edge_train_fused(record, timed_ms, rng, jnp, ptse, idxe,
         lambda q: jnp.sum(xla_train_edge(q)))(p), ptse, probe_g)
     record("edge_train_fused", (rel_t < 1e-2) and (rel_g < 2e-2),
            rel_err=round(rel_t, 7), grad_rel_err=round(rel_g, 7),
+           grad_rel_err_max=round(rel_g_max, 7),
+           xla_jit_max_vjp_err=round(vjp_bug, 7),
            ms_fused_fwdbwd=round(ms_f_t, 3), ms_xla_fwdbwd=round(ms_x_t, 3),
            shape=f"B{be} N{ne} k{ke}", fused_wins=bool(ms_f_t < ms_x_t))
 
