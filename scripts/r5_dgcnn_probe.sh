@@ -31,13 +31,19 @@ except Exception:
 EOF
 )
 echo "[r5_dgcnn_probe] smoke check 6 gate: $OK"
+DEADLINE=$(cat /root/data/r5_deadline.txt 2>/dev/null || echo 0)
+left() {
+    if [ "$DEADLINE" -gt 0 ]; then echo $((DEADLINE - $(date +%s)));
+    else echo 86400; fi
+}
 if [ "$OK" = "no" ]; then
     echo "[r5_dgcnn_probe] fused backward still wrong on-chip — closure time"
-    exit 1
-fi
-# exact-but-slower still merits the probe: kernel timing at smoke shapes
-# (B=256) may not match training shapes (B=128/N=1024)
-python - <<'EOF'
+elif [ "$(left)" -lt 1200 ]; then
+    echo "[r5_dgcnn_probe] only $(left)s left — skipping probe"
+else
+    # exact-but-slower still merits the probe: kernel timing at smoke
+    # shapes (B=256) may not match training shapes (B=128/N=1024)
+    python - <<'EOF'
 import json
 p = "/root/data/SynthCars40kDGCNNFusedProbe_r5.json"
 c = json.load(open("configs/SynthCars40kDGCNNFusedProbe.json"))
@@ -45,20 +51,75 @@ c["model"]["options"]["dgcnn_fused_train"] = True
 json.dump(c, open(p, "w"), indent=4)
 print("probe config written:", p)
 EOF
-DEADLINE=$(cat /root/data/r5_deadline.txt 2>/dev/null || echo 0)
-BUDGET=3000
-if [ "$DEADLINE" -gt 0 ]; then
-    LEFT=$((DEADLINE - $(date +%s)))
-    if [ "$LEFT" -lt 900 ]; then
-        echo "[r5_dgcnn_probe] only ${LEFT}s left — skipping probe"
-        exit 1
-    fi
-    [ $((LEFT - 300)) -lt "$BUDGET" ] && BUDGET=$((LEFT - 300))
+    BUDGET=3000
+    [ $(($(left) - 300)) -lt "$BUDGET" ] && BUDGET=$(($(left) - 300))
+    echo "== probe SynthCars40kDGCNNFusedProbe_r5 (fused ON, ${BUDGET}s box) =="
+    timeout "$BUDGET" python train.py train --config /root/data/SynthCars40kDGCNNFusedProbe_r5.json \
+        > /root/data/probe_SynthCars40kDGCNNFusedProbe_r5.log 2>&1 || true
+    grep -E "Finished epoch" /root/data/probe_SynthCars40kDGCNNFusedProbe_r5.log || true
+    echo "== reference probes (same box, round-4 warm session) =="
+    grep -E "Finished epoch" /root/data/probe_SynthCars40kDGCNNProbe.log 2>/dev/null | tail -3 || true
+    grep -E "Finished epoch" /root/data/probe_SynthCars40kPN512Probe.log 2>/dev/null | tail -3 || true
 fi
-echo "== probe SynthCars40kDGCNNFusedProbe_r5 (fused ON, ${BUDGET}s box) =="
-timeout "$BUDGET" python train.py train --config /root/data/SynthCars40kDGCNNFusedProbe_r5.json \
-    > /root/data/probe_SynthCars40kDGCNNFusedProbe_r5.log 2>&1 || true
-grep -E "Finished epoch" /root/data/probe_SynthCars40kDGCNNFusedProbe_r5.log || true
-echo "== reference probes (same box, round-4 warm session) =="
-grep -E "Finished epoch" /root/data/probe_SynthCars40kDGCNNProbe.log 2>/dev/null | tail -3 || true
-grep -E "Finished epoch" /root/data/probe_SynthCars40kPN512Probe.log 2>/dev/null | tail -3 || true
+
+# ---- p2plane radius micro-sweep (VERDICT r4 item 6c): chase the <2cm
+# bucket against the 160k flagship's 0.1-radius default. Two rows,
+# ~10 min each, skipped individually when the window closes.
+N=SynthCars160kCenterSup
+RUN=/root/data/runs/$N
+E=$(ls "$RUN" 2>/dev/null | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1 || true)
+if [ -n "$E" ]; then
+    for R in 0.05 0.15; do
+        if [ "$(left)" -lt 1500 ]; then
+            echo "[r5_sweep] $(left)s left — skipping radius $R"
+            continue
+        fi
+        TAG=$(echo "$R" | tr -d '.')
+        python - "$N" "$R" "$TAG" <<'PYEOF'
+import json, sys
+name, radius, tag = sys.argv[1], float(sys.argv[2]), sys.argv[3]
+c = json.load(open(f"configs/{name}.json"))
+c["evaluation"]["refinement"]["radius"] = radius
+json.dump(c, open(f"/root/data/{name}Rad{tag}_eval.json", "w"), indent=4)
+PYEOF
+        echo "== p2plane radius $R (160k flagship val, refined) =="
+        timeout 1800 python scripts/eval_with_config.py \
+            "/root/data/${N}Rad${TAG}_eval.json" $E "$RUN" \
+            --refineICP --method p2plane || true
+    done
+fi
+
+# ---- buffer consumer: resume the 80k center-sup run (VERDICT r4 item
+# 2's literal ask) with whatever time remains; only worth starting if
+# it can reach epoch >= 60 (~50 epochs at ~65 s/epoch => 3900s incl.
+# startup), since the same-scale center readout needs a converged arm.
+if [ "$(left)" -ge 3900 ]; then
+    RBUDGET=$(($(left) - 600))
+    echo "== resuming SynthCars80kCenterSup (${RBUDGET}s box) =="
+    timeout -k 60 "$RBUDGET" bash scripts/train_supervised.sh \
+        configs/SynthCars80kCenterSup.json 1800 \
+        || echo "[r5_resume80k] time-boxed (rc=$?)"
+    EC=$(ls /root/data/runs/SynthCars80kCenterSup 2>/dev/null \
+         | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1 || true)
+    if [ -n "$EC" ] && [ "$EC" -ge 60 ] && [ "$(left)" -ge 900 ]; then
+        C=SynthCars80kCenterSup
+        python - "$C" <<'PYEOF'
+import json, sys
+name = sys.argv[1]
+cfg = json.load(open(f"configs/{name}.json"))
+cfg["evaluation"]["network_refine"]["enabled"] = False
+json.dump(cfg, open(f"/root/data/{name}NetOnly_eval.json", "w"), indent=4)
+PYEOF
+        echo "== network-only: 80k center-sup (epoch $EC) =="
+        timeout 2400 python scripts/eval_with_config.py \
+            "/root/data/${C}NetOnly_eval.json" $EC "/root/data/runs/$C" || true
+        python scripts/r4_ab_analysis.py \
+            --base SynthCars80kR4BaseNetOnly_eval \
+            --arm center160k=SynthCars160kCenterSupNetOnly_eval \
+            --arm center80k=${C}NetOnly_eval \
+            --out /root/data/r5_center_decision.json || true
+        cat /root/data/r5_center_decision.json || true
+    fi
+else
+    echo "[r5_resume80k] $(left)s left — not enough to reach epoch 60, skipping"
+fi

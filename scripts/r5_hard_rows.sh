@@ -12,8 +12,11 @@ set -eu
 cd "$(dirname "$0")/.."
 
 DEADLINE=$(cat /root/data/r5_deadline.txt 2>/dev/null || echo 0)
+# reserve 2700s for the steps after this one (DGCNN settlement probe +
+# p2plane radius micro-sweep live in r5_dgcnn_probe.sh) — this script
+# is greedy by construction and would otherwise starve them
 left() {
-    if [ "$DEADLINE" -gt 0 ]; then echo $((DEADLINE - $(date +%s)));
+    if [ "$DEADLINE" -gt 0 ]; then echo $((DEADLINE - 2700 - $(date +%s)));
     else echo 86400; fi
 }
 if [ "$(left)" -lt 900 ]; then
