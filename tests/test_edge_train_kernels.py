@@ -149,3 +149,41 @@ def test_flax_backbone_fused_train_parity():
     e_n = naive.apply(v_n, x, train=False, momentum=0.9)
     e_f = fused.apply(v_n, x, train=False, momentum=0.9)
     np.testing.assert_allclose(e_f, e_n, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_multistrip_jit_gradients_match_stable_reference():
+    """Multi-strip backward under jit — the exact configuration class the
+    unit tests missed for two rounds (n<=128 is single-strip; the
+    round-5 smoke self-test caught wrong gradients only at N=320/k=20/
+    C=64,128). The reference is the stable_max-routed naive graph:
+    jit(grad()) of the plain jnp.max graph is itself wrong on jax 0.9.0
+    (ops/stable_max.py — XLA reduce_max VJP drops cotangents under
+    remat), which masked this case."""
+    from alignnet3d_tpu.ops.stable_max import stable_max
+
+    f, idx, a = _random_problem(b=2, n=320, c=3, c1=64, c2=128, k=20,
+                                seed=5)
+
+    def loss_fused(f_):
+        out, _ = fused_edge_stage_train(f_, idx, **a, interpret=True)
+        return jnp.sum(jnp.sin(out * 0.7))
+
+    def loss_stable(f_):
+        edge = get_edge_feature(f_, idx)
+        pre1 = edge @ a["w1"] + a["b1"]
+        mu1 = jnp.mean(pre1, axis=(0, 1, 2))
+        var1 = jnp.mean(jnp.square(pre1), axis=(0, 1, 2)) - jnp.square(mu1)
+        h1 = jax.nn.relu(
+            (pre1 - mu1) * jax.lax.rsqrt(var1 + EPS) * a["g1"] + a["be1"])
+        pre2 = h1 @ a["w2"] + a["b2"]
+        mu2 = jnp.mean(pre2, axis=(0, 1, 2))
+        var2 = jnp.mean(jnp.square(pre2), axis=(0, 1, 2)) - jnp.square(mu2)
+        h2 = jax.nn.relu(
+            (pre2 - mu2) * jax.lax.rsqrt(var2 + EPS) * a["g2"] + a["be2"])
+        return jnp.sum(jnp.sin(stable_max(h2, 2) * 0.7))
+
+    gf = np.asarray(jax.jit(jax.grad(loss_fused))(f))
+    gw = np.asarray(jax.jit(jax.grad(loss_stable))(f))
+    rel = np.linalg.norm(gf - gw) / np.linalg.norm(gw)
+    assert rel < 1e-4, f"multi-strip jit grad rel L2 {rel}"
