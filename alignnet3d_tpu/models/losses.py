@@ -164,15 +164,20 @@ def _sq_chamfer(pred: jax.Array, target: jax.Array) -> jax.Array:
 
     Squared distances keep the gradient finite at zero; the (B, M, K)
     matrix is one batched matmul (MXU) plus two row/col min-reductions.
+    The min-reductions route gradients via ``stable_min``: this loss is
+    only ever differentiated, and jax 0.9.0's reduce_min VJP has the
+    same remat cotangent-drop hazard as reduce_max (ops/stable_max.py).
     """
+    from alignnet3d_tpu.ops.stable_max import stable_min
+
     d2 = (
         jnp.sum(pred ** 2, axis=-1)[:, :, None]
         - 2.0 * jnp.einsum("bmd,bkd->bmk", pred, target)
         + jnp.sum(target ** 2, axis=-1)[:, None, :]
     )
     d2 = jnp.maximum(d2, 0.0)
-    return jnp.mean(jnp.min(d2, axis=2), axis=1) + jnp.mean(
-        jnp.min(d2, axis=1), axis=1
+    return jnp.mean(stable_min(d2, 2), axis=1) + jnp.mean(
+        stable_min(d2, 1), axis=1
     )
 
 

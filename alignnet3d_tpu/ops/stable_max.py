@@ -52,3 +52,9 @@ def stable_max(x: jax.Array, axis: int) -> jax.Array:
     iota = jax.lax.broadcasted_iota(idx.dtype, x.shape, axis)
     sel = iota == jnp.expand_dims(idx, axis)
     return jnp.sum(jnp.where(sel, x, jnp.zeros((), x.dtype)), axis=axis)
+
+
+def stable_min(x: jax.Array, axis: int) -> jax.Array:
+    """``jnp.min(x, axis)`` with the same remat-stable first-argmin
+    gradient routing (negation is exact for floats)."""
+    return -stable_max(-x, axis)

@@ -135,3 +135,23 @@ def test_model_spec_flag_and_forward_parity():
     for k in o1:
         np.testing.assert_array_equal(np.asarray(o1[k]), np.asarray(o2[k]),
                                       err_msg=k)
+
+
+def test_stable_min_forward_and_routing():
+    from alignnet3d_tpu.ops.stable_max import stable_min
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(5, 13, 4)), jnp.float32)
+    np.testing.assert_array_equal(stable_min(x, 1), jnp.min(x, axis=1))
+    # routing: first argmin takes the whole cotangent
+    x2 = jnp.asarray([[2.0, -1.0, -1.0, 0.0]], jnp.float32)
+    g = jax.grad(lambda v: jnp.sum(stable_min(v, 1) * 3.0))(x2)
+    np.testing.assert_array_equal(
+        np.asarray(g), np.array([[0.0, 3.0, 0.0, 0.0]], np.float32))
+    # jit == eager
+    def loss(v):
+        return jnp.sum(jnp.sin(stable_min(jax.nn.relu(v), 1)))
+    x3 = jnp.asarray(rng.normal(size=(3, 64, 8)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(jax.jit(jax.grad(loss))(x3)),
+                               np.asarray(jax.grad(loss)(x3)),
+                               rtol=1e-6, atol=1e-6)
