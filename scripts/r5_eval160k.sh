@@ -55,6 +55,29 @@ timeout 5400 python scripts/eval_with_config.py "/root/data/${N}Fresh_eval.json"
 echo "== network-only (center diagnostic source) =="
 timeout 5400 python scripts/eval_with_config.py "/root/data/${N}NetOnly_eval.json" $E "$RUN"
 
+# Max20cm-style operating point on the 160k weights (round-4 recipe:
+# 2-pass network refine with the retrained refiner + p2plane — the
+# 22.05% <2cm peak). Only when the later steps' window is safe.
+DEADLINE=$(cat /root/data/r5_deadline.txt 2>/dev/null || echo 0)
+if [ "$DEADLINE" -eq 0 ] || [ $((DEADLINE - $(date +%s))) -gt 10800 ]; then
+    python - "$N" <<'PYEOF'
+import json, sys
+name = sys.argv[1]
+cfg = json.load(open(f"configs/{name}.json"))
+mx = json.loads(json.dumps(cfg))
+mx["evaluation"]["network_refine"]["weights"] = \
+    "/root/data/runs/SynthCars80kRefiner/model-59"
+mx["evaluation"]["network_refine"]["iterations"] = 2
+json.dump(mx, open(f"/root/data/{name}Max_eval.json", "w"), indent=4)
+print("max-stack config written")
+PYEOF
+    echo "== Max20cm-style stack (refiner net2 + p2plane) =="
+    timeout 5400 python scripts/eval_with_config.py "/root/data/${N}Max_eval.json" $E "$RUN" \
+        --refineICP --method p2plane || true
+else
+    echo "[r5_eval160k] window tight — skipping Max-stack row"
+fi
+
 if [ "$E" -lt "$WANT" ]; then
     echo "[r5_eval160k] flagship incomplete ($E < $WANT) — rows above are interim"
     exit 1
