@@ -89,10 +89,28 @@ PYEOF
     done
 fi
 
-# ---- buffer consumer: resume the 80k center-sup run (VERDICT r4 item
-# 2's literal ask) with whatever time remains; only worth starting if
-# it can reach epoch >= 60 (~50 epochs at ~65 s/epoch => 3900s incl.
-# startup), since the same-scale center readout needs a converged arm.
+# ---- buffer consumer, priority 1: FINISH the 160k flagship if its
+# timebox cut it short (~epoch 103/120 expected), then re-run the
+# eval slot for final rows (rerunnable: markers skip the smoke, eval
+# dirs are freshly named). The flagship's final LR-schedule epochs
+# are worth more than a redundant same-scale 80k center arm.
+WANT=$(python -c "import json; print(json.load(open('configs/$N.json'))['training']['num_epochs'] - 1)")
+if [ -n "$E" ] && [ "$E" -lt "$WANT" ] && [ "$(left)" -ge 2400 ]; then
+    RBUDGET=$(($(left) - 1800))  # keep room for the re-eval
+    [ "$RBUDGET" -gt 4800 ] && RBUDGET=4800
+    echo "== finishing $N: epoch $E -> $WANT (${RBUDGET}s box) =="
+    timeout -k 60 "$RBUDGET" bash scripts/train_supervised.sh \
+        "configs/$N.json" 1800 || echo "[r5_finish160k] time-boxed (rc=$?)"
+    if [ "$(left)" -ge 1200 ]; then
+        bash scripts/r5_eval160k.sh || true
+    fi
+fi
+
+# ---- buffer consumer, priority 2: resume the 80k center-sup run
+# (VERDICT r4 item 2's literal ask) with whatever time remains; only
+# worth starting if it can reach epoch >= 60 (~50 epochs at ~65
+# s/epoch => 3900s incl. startup), since the same-scale center
+# readout needs a converged arm.
 if [ "$(left)" -ge 3900 ]; then
     RBUDGET=$(($(left) - 600))
     echo "== resuming SynthCars80kCenterSup (${RBUDGET}s box) =="
