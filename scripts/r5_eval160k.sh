@@ -33,6 +33,25 @@ fi
 echo "[r5_eval160k] $N at epoch $E"
 WANT=$(python -c "import json; print(json.load(open('configs/$N.json'))['training']['num_epochs'] - 1)")
 
+# The round-5 deadline was extended mid-evening (round is ~12h, not the
+# 00:10 the flagship's timebox assumed): if training was cut short,
+# finish it BEFORE the eval rows — the final LR-decay epochs are worth
+# more than interim rows, and every downstream step (Hard rows, radius
+# sweep) then reads final weights. Reserve 16200s for this script's four
+# rows + the later queue steps (same reserve the flagship used).
+DEADLINE0=$(cat /root/data/r5_deadline.txt 2>/dev/null || echo 0)
+if [ "$E" -lt "$WANT" ] && [ "$DEADLINE0" -gt 0 ]; then
+    FBUDGET=$((DEADLINE0 - 16200 - $(date +%s)))
+    if [ "$FBUDGET" -gt 7200 ]; then FBUDGET=7200; fi
+    if [ "$FBUDGET" -gt 900 ]; then
+        echo "[r5_eval160k] finishing $N: epoch $E -> $WANT (${FBUDGET}s box)"
+        timeout -k 60 "$FBUDGET" bash scripts/train_supervised.sh "configs/$N.json" 1800 \
+            || echo "[r5_eval160k] finish time-boxed (rc=$?)"
+        E=$(ls "$RUN" | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1)
+        echo "[r5_eval160k] now at epoch $E"
+    fi
+fi
+
 python - "$N" <<'PYEOF'
 import json, sys
 name = sys.argv[1]
