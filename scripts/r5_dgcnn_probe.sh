@@ -106,38 +106,51 @@ if [ -n "$E" ] && [ "$E" -lt "$WANT" ] && [ "$(left)" -ge 2400 ]; then
     fi
 fi
 
-# ---- buffer consumer, priority 2: resume the 80k center-sup run
-# (VERDICT r4 item 2's literal ask) with whatever time remains; only
-# worth starting if it can reach epoch >= 60 (~50 epochs at ~65
-# s/epoch => 3900s incl. startup), since the same-scale center
-# readout needs a converged arm.
-if [ "$(left)" -ge 3900 ]; then
-    RBUDGET=$(($(left) - 600))
-    echo "== resuming SynthCars80kCenterSup (${RBUDGET}s box) =="
+# ---- buffer consumer, priority 2: DGCNN retrain on CORRECTED
+# gradients (round-5 finding: XLA's jit max-VJP dropped 58% of the
+# DGCNN training gradient in rel-L2 — every historical DGCNN row
+# trained on those gradients, incl. round-3's 79.2% <20cm at
+# 40k/N512/60ep). With stable_max routing this is the repo's last
+# unmeasured accuracy lever; it outranks the 80k center-sup resume,
+# whose question the 40k A/B + the 160k flagship (center-sup arm)
+# already answer. Adaptive scale: 80k full-lever config when the
+# window is wide, else a 40k variant epoch-comparable to round 3.
+# Fused kernel rides along only when the gate above said "yes"
+# (exact AND faster); "exact" alone stays unfused.
+if [ "$(left)" -ge 3000 ]; then
+    if [ "$(left)" -ge 12000 ]; then DC=SynthCars80kDGCNNStableR5;
+    else DC=SynthCars40kDGCNNStableR5; fi
+    python - "$DC" "$OK" <<'PYEOF'
+import json, sys
+name, gate = sys.argv[1], sys.argv[2]
+c = json.load(open("configs/SynthCars80kDGCNNStableR5.json"))
+if name.startswith("SynthCars40k"):
+    c["data"]["basepath"] = "/root/data/SynthCars40k"
+    c["training"]["num_epochs"] = 60
+c["model"]["options"]["dgcnn_fused_train"] = gate == "yes"
+c["logging"] = {"basedir": "/root/data/runs"}
+json.dump(c, open(f"/root/data/{name}.json", "w"), indent=4)
+print("stable-DGCNN config written:", name, "fused:", gate == "yes")
+PYEOF
+    RBUDGET=$(($(left) - 1500))
+    echo "== stable-gradient DGCNN retrain $DC (${RBUDGET}s box) =="
     timeout -k 60 "$RBUDGET" bash scripts/train_supervised.sh \
-        configs/SynthCars80kCenterSup.json 1800 \
-        || echo "[r5_resume80k] time-boxed (rc=$?)"
-    EC=$(ls /root/data/runs/SynthCars80kCenterSup 2>/dev/null \
+        "/root/data/$DC.json" 1800 \
+        || echo "[r5_dgcnn_stable] time-boxed (rc=$?)"
+    ED=$(ls /root/data/runs/$DC 2>/dev/null \
          | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1 || true)
-    if [ -n "$EC" ] && [ "$EC" -ge 60 ] && [ "$(left)" -ge 900 ]; then
-        C=SynthCars80kCenterSup
-        python - "$C" <<'PYEOF'
+    if [ -n "$ED" ] && [ "$(left)" -ge 900 ]; then
+        python - "$DC" <<'PYEOF'
 import json, sys
 name = sys.argv[1]
-cfg = json.load(open(f"configs/{name}.json"))
+cfg = json.load(open(f"/root/data/{name}.json"))
 cfg["evaluation"]["network_refine"]["enabled"] = False
 json.dump(cfg, open(f"/root/data/{name}NetOnly_eval.json", "w"), indent=4)
 PYEOF
-        echo "== network-only: 80k center-sup (epoch $EC) =="
+        echo "== network-only: $DC (epoch $ED) =="
         timeout 2400 python scripts/eval_with_config.py \
-            "/root/data/${C}NetOnly_eval.json" $EC "/root/data/runs/$C" || true
-        python scripts/r4_ab_analysis.py \
-            --base SynthCars80kR4BaseNetOnly_eval \
-            --arm center160k=SynthCars160kCenterSupNetOnly_eval \
-            --arm center80k=${C}NetOnly_eval \
-            --out /root/data/r5_center_decision.json || true
-        cat /root/data/r5_center_decision.json || true
+            "/root/data/${DC}NetOnly_eval.json" $ED "/root/data/runs/$DC" || true
     fi
 else
-    echo "[r5_resume80k] $(left)s left — not enough to reach epoch 60, skipping"
+    echo "[r5_dgcnn_stable] $(left)s left — window too small, skipping"
 fi
