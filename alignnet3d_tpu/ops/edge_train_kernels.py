@@ -95,21 +95,24 @@ def _row_mask(strip, tm: int, n: int):
     return (rows < n).astype(jnp.float32)
 
 
-def _gather_v(v, idx_t, tm: int):
+def _gather_v(v, idx_t, tm: int, prec=None):
     """One neighbor slot's rows of v via a one-hot MXU matmul.
 
     Returns (onehot, rows) — backward reuses onehot transposed.
+    At default MXU precision the matmul rounds v through bf16 passes
+    (~2^-8 relative); ``prec='highest'`` makes the gather exact f32 —
+    used by the on-chip logic-exactness smoke row, too slow to ship.
     """
     col = jax.lax.broadcasted_iota(jnp.int32, (tm, v.shape[0]), 1)
     onehot = (col == idx_t[:, None]).astype(v.dtype)
     rows = jax.lax.dot_general(
         onehot, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     return onehot, rows
 
 
-def _slot_chain(u, v, idx_t, tm, bn1, w2, b2, bn2):
+def _slot_chain(u, v, idx_t, tm, bn1, w2, b2, bn2, prec=None):
     """Recompute one neighbor slot's forward chain for a (tm,)-strip.
 
     ``idx_t`` is the slot's (tm,) neighbor indices (callers slice it out
@@ -120,7 +123,7 @@ def _slot_chain(u, v, idx_t, tm, bn1, w2, b2, bn2):
     Returns dict of the intermediates each pass needs.
     """
     mu1, r1, g1, be1 = bn1
-    onehot, rows = _gather_v(v, idx_t, tm)
+    onehot, rows = _gather_v(v, idx_t, tm, prec)
     pre1 = u + rows
     xhat1 = (pre1 - mu1) * r1
     y1 = xhat1 * g1 + be1
@@ -131,7 +134,7 @@ def _slot_chain(u, v, idx_t, tm, bn1, w2, b2, bn2):
         mu2, r2, g2, be2 = bn2
         pre2 = jax.lax.dot_general(
             h1, w2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         ) + b2
         xhat2 = (pre2 - mu2) * r2
         y2 = xhat2 * g2 + be2
@@ -145,7 +148,8 @@ def _slot_chain(u, v, idx_t, tm, bn1, w2, b2, bn2):
 # ---------------------------------------------------------------------------
 
 
-def _stats1_kernel(u_ref, v_ref, idx_ref, s_ref, ss_ref, *, k, tm, n):
+def _stats1_kernel(u_ref, v_ref, idx_ref, s_ref, ss_ref, *, k, tm, n,
+                   prec=None):
     """Pass A: channel sums of pre1 = U_i + V_j over real (i, t) pairs."""
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
@@ -159,7 +163,7 @@ def _stats1_kernel(u_ref, v_ref, idx_ref, s_ref, ss_ref, *, k, tm, n):
     s = jnp.zeros_like(s_ref)
     ss = jnp.zeros_like(ss_ref)
     for t in range(k):
-        _, rows = _gather_v(v, idx_ref[0, t, :], tm)
+        _, rows = _gather_v(v, idx_ref[0, t, :], tm, prec)
         pre1 = (u + rows) * mask
         s = s + jnp.sum(pre1, axis=0, keepdims=True)
         ss = ss + jnp.sum(pre1 * pre1, axis=0, keepdims=True)
@@ -168,7 +172,7 @@ def _stats1_kernel(u_ref, v_ref, idx_ref, s_ref, ss_ref, *, k, tm, n):
 
 
 def _stats2_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref,
-                   s_ref, ss_ref, *, k, tm, n):
+                   s_ref, ss_ref, *, k, tm, n, prec=None):
     """Pass B: channel sums of pre2 = h1 @ W2 + b2."""
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
@@ -184,10 +188,11 @@ def _stats2_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref,
     s = jnp.zeros_like(s_ref)
     ss = jnp.zeros_like(ss_ref)
     for t in range(k):
-        c = _slot_chain(u, v, idx_ref[0, t, :], tm, bn1, None, None, None)
+        c = _slot_chain(u, v, idx_ref[0, t, :], tm, bn1, None, None, None,
+                        prec)
         pre2 = (jax.lax.dot_general(
             c["h1"], w2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         ) + b2) * mask
         s = s + jnp.sum(pre2, axis=0, keepdims=True)
         ss = ss + jnp.sum(pre2 * pre2, axis=0, keepdims=True)
@@ -196,7 +201,7 @@ def _stats2_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref,
 
 
 def _apply_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
-                  out_ref, slot_ref, *, k, tm):
+                  out_ref, slot_ref, *, k, tm, prec=None):
     """Pass C: out_i = max_t h2, plus the f32 argmax slot index per
     (row, channel) — the backward passes key max-routing on this map
     instead of recomputing h2 and comparing bitwise (see module doc)."""
@@ -207,7 +212,7 @@ def _apply_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
     acc = None
     slot = None
     for t in range(k):
-        c = _slot_chain(u, v, idx_ref[0, t, :], tm, bn1, w2, b2, bn2)
+        c = _slot_chain(u, v, idx_ref[0, t, :], tm, bn1, w2, b2, bn2, prec)
         if acc is None:
             acc = c["h2"]
             slot = jnp.zeros_like(acc)
@@ -244,7 +249,8 @@ def _slot_idx(idx_all, t, tm: int):
 
 
 def _bwd2_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
-                 slot_ref, dout_ref, sa_ref, sb_ref, *, k, tm, n):
+                 slot_ref, dout_ref, sa_ref, sb_ref, *, k, tm, n,
+                 prec=None):
     """Pass D: BN2-backward global sums sa2 = sum(dy2), sb2 = sum(dy2*xhat2)."""
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
@@ -265,7 +271,7 @@ def _bwd2_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
     def body(t, carry):
         sa, sb = carry
         c = _slot_chain(u, v, _slot_idx(idx_all, t, tm), tm, bn1, w2, b2,
-                        bn2)
+                        bn2, prec)
         dh2 = (slot == t.astype(jnp.float32)).astype(jnp.float32) * scale
         dy2 = dh2 * (c["y2"] > 0.0)
         return (sa + jnp.sum(dy2, axis=0, keepdims=True),
@@ -279,7 +285,7 @@ def _bwd2_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
 
 def _bwd_mid_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
                     slot_ref, dout_ref, m2_ref, dw2_ref, db2_ref,
-                    sa_ref, sb_ref, *, k, tm, n):
+                    sa_ref, sb_ref, *, k, tm, n, prec=None):
     """Pass E: BN2-corrected dpre2 -> dW2, db2, and BN1-backward sums.
 
     m2_ref rows: (mean(dy2), mean(dy2*xhat2)) per C2 channel.
@@ -310,18 +316,18 @@ def _bwd_mid_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
     def body(t, carry):
         dw2, db2, sa, sb = carry
         c = _slot_chain(u, v, _slot_idx(idx_all, t, tm), tm, bn1, w2, b2,
-                        bn2)
+                        bn2, prec)
         dh2 = (slot == t.astype(jnp.float32)).astype(jnp.float32) * scale
         dy2 = dh2 * (c["y2"] > 0.0)
         dpre2 = a2 * (dy2 - ma2 - c["xhat2"] * mb2) * mask
         dw2 = dw2 + jax.lax.dot_general(
             c["h1"], dpre2, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         db2 = db2 + jnp.sum(dpre2, axis=0, keepdims=True)
         dh1 = jax.lax.dot_general(
             dpre2, w2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         dy1 = dh1 * (c["y1"] > 0.0)
         sa = sa + jnp.sum(dy1, axis=0, keepdims=True)
@@ -340,7 +346,7 @@ def _bwd_mid_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
 
 def _bwd_in_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
                    slot_ref, dout_ref, m2_ref, m1_ref, du_ref, dv_ref,
-                   *, k, tm, n):
+                   *, k, tm, n, prec=None):
     """Pass F: BN1-corrected dpre1 -> dU (strip) and dV (scatter via
     onehot^T matmul, accumulated per batch element)."""
     strip_first = pl.program_id(1) == 0
@@ -367,20 +373,20 @@ def _bwd_in_kernel(u_ref, v_ref, idx_ref, bn1_ref, w2_ref, b2_ref, bn2_ref,
     def body(t, carry):
         du, dv = carry
         c = _slot_chain(u, v, _slot_idx(idx_all, t, tm), tm, bn1, w2, b2,
-                        bn2)
+                        bn2, prec)
         dh2 = (slot == t.astype(jnp.float32)).astype(jnp.float32) * scale
         dy2 = dh2 * (c["y2"] > 0.0)
         dpre2 = a2 * (dy2 - ma2 - c["xhat2"] * mb2) * mask
         dh1 = jax.lax.dot_general(
             dpre2, w2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         dy1 = dh1 * (c["y1"] > 0.0)
         dpre1 = a1 * (dy1 - ma1 - c["xhat1"] * mb1) * mask
         du = du + dpre1
         dv = dv + jax.lax.dot_general(
             c["onehot"], dpre1, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         return du, dv
 
@@ -411,10 +417,11 @@ def _pallas(kernel, grid, in_specs, out_specs, out_shape, interpret, **kw):
 
 
 @partial(jax.jit,
-         static_argnames=("eps", "tm", "interpret"))
+         static_argnames=("eps", "tm", "interpret", "precision"))
 def fused_edge_stage_train(f, idx, w1, b1, g1, be1, w2, b2, g2, be2,
                            *, eps: float = 1e-3, tm: int = 256,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           precision: str | None = None):
     """Fused training edge stage.
 
     f: (B, N, C) input features; idx: (B, N, k) int32 neighbor indices
@@ -422,25 +429,32 @@ def fused_edge_stage_train(f, idx, w1, b1, g1, be1, w2, b2, g2, be2,
     edge-feature convention [x_i, x_j - x_i]); b1: (C1,); g1/be1: BN1
     scale/bias; w2: (C1, C2); b2: (C2,); g2/be2: BN2 scale/bias.
 
+    ``precision`` threads into every MXU matmul (kernel-internal AND
+    host-side chain): None = MXU default (bf16 passes, production),
+    'highest' = exact f32 — used by the on-chip smoke logic-exactness
+    row, where both this kernel and the stable_max XLA reference run
+    at HIGHEST so near-tie argmax routing flips cannot masquerade as
+    (or hide) logic bugs.
+
     Returns (out, (mu1, var1, mu2, var2)): out (B, N, C2) f32, stats f32
     per channel — exactly the quantities the naive XLA graph produces.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     out, stats = _fused_vjp(f, idx, w1, b1, g1, be1, w2, b2, g2, be2,
-                            eps, tm, interpret)
+                            eps, tm, interpret, precision)
     return out, stats
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def _fused_vjp(f, idx, w1, b1, g1, be1, w2, b2, g2, be2,
-               eps, tm, interpret):
+               eps, tm, interpret, precision):
     out, stats, _ = _fused_fwd_impl(f, idx, w1, b1, g1, be1, w2, b2, g2,
-                                    be2, eps, tm, interpret)
+                                    be2, eps, tm, interpret, precision)
     return out, stats
 
 
-def _prep(f, idx, w1, b1, tm):
+def _prep(f, idx, w1, b1, tm, prec=None):
     b, n, c = f.shape
     k = idx.shape[-1]
     tm = min(tm, _round_up(n, 128))
@@ -448,8 +462,8 @@ def _prep(f, idx, w1, b1, tm):
     ff = f.astype(jnp.float32)
     a_w = (w1[:c] - w1[c:]).astype(jnp.float32)
     q_w = w1[c:].astype(jnp.float32)
-    u = ff @ a_w + b1.astype(jnp.float32)
-    v = ff @ q_w
+    u = jnp.matmul(ff, a_w, precision=prec) + b1.astype(jnp.float32)
+    v = jnp.matmul(ff, q_w, precision=prec)
     u = jnp.pad(u, ((0, 0), (0, np_ - n), (0, 0)))
     v = jnp.pad(v, ((0, 0), (0, np_ - n), (0, 0)))
     idxT = jnp.transpose(idx.astype(jnp.int32), (0, 2, 1))
@@ -477,8 +491,9 @@ def _acc_shape(rows, cols):
 
 
 def _fused_fwd_impl(f, idx, w1, b1, g1, be1, w2, b2, g2, be2,
-                    eps, tm, interpret):
-    ff, a_w, q_w, u, v, idxT, b, n, c, k, tm, np_ = _prep(f, idx, w1, b1, tm)
+                    eps, tm, interpret, prec=None):
+    ff, a_w, q_w, u, v, idxT, b, n, c, k, tm, np_ = _prep(f, idx, w1, b1,
+                                                          tm, prec)
     c1 = w1.shape[1]
     c2 = w2.shape[1]
     m_count = b * n * k
@@ -491,7 +506,7 @@ def _fused_fwd_impl(f, idx, w1, b1, g1, be1, w2, b2, g2, be2,
         _stats1_kernel, grid, [u_spec, v_spec, i_spec],
         [_table_spec(1, c1), _table_spec(1, c1)],
         [_acc_shape(1, c1), _acc_shape(1, c1)],
-        interpret, k=k, tm=tm, n=n,
+        interpret, k=k, tm=tm, n=n, prec=prec,
     )(u, v, idxT)
     mu1 = (s1 / m_count).reshape(-1)
     var1 = (ss1 / m_count).reshape(-1) - mu1 * mu1
@@ -504,7 +519,7 @@ def _fused_fwd_impl(f, idx, w1, b1, g1, be1, w2, b2, g2, be2,
          _table_spec(c1, c2), _table_spec(1, c2)],
         [_table_spec(1, c2), _table_spec(1, c2)],
         [_acc_shape(1, c2), _acc_shape(1, c2)],
-        interpret, k=k, tm=tm, n=n,
+        interpret, k=k, tm=tm, n=n, prec=prec,
     )(u, v, idxT, bn1, w2f, b2f)
     mu2 = (s2 / m_count).reshape(-1)
     var2 = (ss2 / m_count).reshape(-1) - mu2 * mu2
@@ -520,7 +535,7 @@ def _fused_fwd_impl(f, idx, w1, b1, g1, be1, w2, b2, g2, be2,
         [oc_spec, oc_spec],
         [jax.ShapeDtypeStruct((b, np_, c2), jnp.float32),
          jax.ShapeDtypeStruct((b, np_, c2), jnp.float32)],
-        interpret, k=k, tm=tm,
+        interpret, k=k, tm=tm, prec=prec,
     )(u, v, idxT, bn1, w2f, b2f, bn2)
 
     out = out_pad[:, :n, :]
@@ -533,13 +548,14 @@ def _fused_fwd_impl(f, idx, w1, b1, g1, be1, w2, b2, g2, be2,
 
 
 def _fused_fwd_rule(f, idx, w1, b1, g1, be1, w2, b2, g2, be2,
-                    eps, tm, interpret):
+                    eps, tm, interpret, precision):
     out, stats, resid = _fused_fwd_impl(f, idx, w1, b1, g1, be1, w2, b2,
-                                        g2, be2, eps, tm, interpret)
+                                        g2, be2, eps, tm, interpret,
+                                        precision)
     return (out, stats), resid
 
 
-def _fused_bwd_rule(eps, tm_arg, interpret, saved, cotangents):
+def _fused_bwd_rule(eps, tm_arg, interpret, prec, saved, cotangents):
     (ff, a_w, q_w, u, v, idxT, bn1, bn2, w2f, b2f, slot_pad,
      f_tok, w_tok) = saved
     f_dtype, w_dtype = f_tok.dtype, w_tok.dtype
@@ -565,7 +581,7 @@ def _fused_bwd_rule(eps, tm_arg, interpret, saved, cotangents):
          o_spec, o_spec],
         [_table_spec(1, c2), _table_spec(1, c2)],
         [_acc_shape(1, c2), _acc_shape(1, c2)],
-        interpret, k=k, tm=tm, n=n,
+        interpret, k=k, tm=tm, n=n, prec=prec,
     )(u, v, idxT, bn1, w2f, b2f, bn2, slot_pad, dout_pad)
     m2 = jnp.concatenate([sa2, sb2], axis=0) / m_count  # (2, C2)
 
@@ -578,7 +594,7 @@ def _fused_bwd_rule(eps, tm_arg, interpret, saved, cotangents):
          _table_spec(1, c1), _table_spec(1, c1)],
         [_acc_shape(c1, c2), _acc_shape(1, c2),
          _acc_shape(1, c1), _acc_shape(1, c1)],
-        interpret, k=k, tm=tm, n=n,
+        interpret, k=k, tm=tm, n=n, prec=prec,
     )(u, v, idxT, bn1, w2f, b2f, bn2, slot_pad, dout_pad, m2)
     m1 = jnp.concatenate([sa1, sb1], axis=0) / m_count  # (2, C1)
 
@@ -593,15 +609,16 @@ def _fused_bwd_rule(eps, tm_arg, interpret, saved, cotangents):
                       memory_space=pltpu.VMEM)],
         [jax.ShapeDtypeStruct((b, np_, c1), jnp.float32),
          jax.ShapeDtypeStruct((b, np_, c1), jnp.float32)],
-        interpret, k=k, tm=tm, n=n,
+        interpret, k=k, tm=tm, n=n, prec=prec,
     )(u, v, idxT, bn1, w2f, b2f, bn2, slot_pad, dout_pad, m2, m1)
     du = du_pad[:, :n, :]
     dv = dv_pad[:, :n, :]
 
     # chain through U = f @ (P - Q) + b1, V = f @ Q
-    df = (du @ a_w.T + dv @ q_w.T).astype(f_dtype)
-    da = jnp.einsum("bnc,bnd->cd", ff, du)
-    dq_ = jnp.einsum("bnc,bnd->cd", ff, dv)
+    df = (jnp.matmul(du, a_w.T, precision=prec) +
+          jnp.matmul(dv, q_w.T, precision=prec)).astype(f_dtype)
+    da = jnp.einsum("bnc,bnd->cd", ff, du, precision=prec)
+    dq_ = jnp.einsum("bnc,bnd->cd", ff, dv, precision=prec)
     dw1 = jnp.concatenate([da, dq_ - da], axis=0).astype(w_dtype)
     db1 = jnp.sum(du, axis=(0, 1))
     dg2 = sb2.reshape(-1)

@@ -187,3 +187,20 @@ def test_multistrip_jit_gradients_match_stable_reference():
     gw = np.asarray(jax.jit(jax.grad(loss_stable))(f))
     rel = np.linalg.norm(gf - gw) / np.linalg.norm(gw)
     assert rel < 1e-4, f"multi-strip jit grad rel L2 {rel}"
+
+
+@pytest.mark.parametrize("precision", [None, "highest"])
+def test_precision_threading(precision):
+    """The `precision` knob threads through every MXU matmul (kernel
+    and host-side) without changing interpret-mode values or gradients
+    (interpret mode is exact f32 at any setting; on-chip, 'highest'
+    is what the smoke logic-exactness row runs both sides at)."""
+    f, idx, a = _random_problem(n=40)
+    out, stats = fused_edge_stage_train(f, idx, **a, interpret=True,
+                                        precision=precision)
+    want, _ = _naive(f, idx, **a)
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+    g = jax.grad(lambda p: jnp.sum(jnp.sin(fused_edge_stage_train(
+        p, idx, **a, interpret=True, precision=precision)[0])))(f)
+    gw = jax.grad(lambda p: jnp.sum(jnp.sin(_naive(p, idx, **a)[0])))(f)
+    np.testing.assert_allclose(g, gw, rtol=1e-4, atol=1e-5)
