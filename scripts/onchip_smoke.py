@@ -81,6 +81,17 @@ def _check_edge_train_fused(record, timed_ms, rng, jnp, ptse, idxe,
     differences that move O(1) cotangents on isolated elements — huge in
     max-norm, negligible in L2. Systematic corruption (dropped mass,
     wrong index rows) dominates L2. Max-norm is recorded as diagnostic.
+
+    Round-5 refinement: at DEFAULT MXU precision the two sides can
+    never agree exactly — the fused gather rounds v through bf16
+    passes, so ~0.3% of (row, channel) positions route their max to a
+    different near-tied slot than XLA does (recorded as
+    ``slot_flip_rate``), and each flip moves an O(1) cotangent. This
+    row therefore gates on the bf16 ENVELOPE (forward < 2e-2, grad L2
+    < 0.15 — a corruption ceiling that still catches the round-4/5
+    index-bug class, which measured 1.41-1.48) plus timing; true LOGIC
+    exactness is gated by ``_check_edge_train_fused_highest``, where
+    both sides run f32-exact and routing flips vanish.
     """
     import jax
 
@@ -125,6 +136,21 @@ def _check_edge_train_fused(record, timed_ms, rng, jnp, ptse, idxe,
                       max(float(np.max(np.abs(gw))), 1e-9))
     vjp_bug = float(np.linalg.norm(gw_naive - gw)) / gw_n
 
+    # routing diagnostic: fraction of (row, channel) positions whose
+    # max the fused forward routed to a different slot than XLA's
+    # argmax — the near-tie flips the module doc predicts from the
+    # bf16 gather envelope. Each flip moves an O(1) cotangent, so
+    # grad_rel_err ~ sqrt(2 * slot_flip_rate) if flips explain it.
+    from alignnet3d_tpu.ops.edge_train_kernels import _fused_fwd_impl
+    interp = jax.default_backend() == "cpu"
+    slots = np.asarray(jax.jit(lambda p: _fused_fwd_impl(
+        p, idxe, w1, b1, g1, be1, w2, b2, g2, be2,
+        1e-3, 256, interp)[2][10])(ptse))[:, :ne, :]
+    h2_x = np.asarray(jax.jit(
+        lambda p: xla_train_edge(p, lambda h, axis: h))(ptse))
+    flip = float(np.mean(slots.astype(np.int32)
+                         != np.argmax(h2_x, axis=2)))
+
     def probe_g(o):
         return o[:, :1, :1] * 1e-9
 
@@ -132,12 +158,72 @@ def _check_edge_train_fused(record, timed_ms, rng, jnp, ptse, idxe,
         lambda q: jnp.sum(fused_train_edge(q)))(p), ptse, probe_g)
     ms_x_t = timed_ms(lambda p: jax.grad(
         lambda q: jnp.sum(xla_train_edge(q)))(p), ptse, probe_g)
-    record("edge_train_fused", (rel_t < 1e-2) and (rel_g < 2e-2),
+    record("edge_train_fused", (rel_t < 2e-2) and (rel_g < 0.15),
            rel_err=round(rel_t, 7), grad_rel_err=round(rel_g, 7),
            grad_rel_err_max=round(rel_g_max, 7),
+           slot_flip_rate=round(flip, 7),
            xla_jit_max_vjp_err=round(vjp_bug, 7),
            ms_fused_fwdbwd=round(ms_f_t, 3), ms_xla_fwdbwd=round(ms_x_t, 3),
            shape=f"B{be} N{ne} k{ke}", fused_wins=bool(ms_f_t < ms_x_t))
+
+
+def _check_edge_train_fused_highest(record, rng, jnp, pts, idx,
+                                    w1, b1, w2, b2, n,
+                                    name="edge_train_fused_highest"):
+    """LOGIC exactness of the fused training kernel: both the kernel
+    (``precision='highest'`` threads f32-exact passes into every MXU
+    matmul) and the stable_max XLA reference run at HIGHEST matmul
+    precision, so bf16 near-tie argmax routing flips cannot masquerade
+    as — or hide — real bugs (the round-4 slot-map bug and the round-5
+    index-corruption bug would both fail this row loudly). Gate 1e-3:
+    residual noise is f32 reassociation plus at most a handful of
+    exact-tie flips. No timing (HIGHEST is ~3-6x passes, not shipped;
+    production runs default precision, gated by the envelope row)."""
+    import jax
+
+    from alignnet3d_tpu.ops.edge_train_kernels import fused_edge_stage_train
+    from alignnet3d_tpu.ops.knn import get_edge_feature
+    from alignnet3d_tpu.ops.stable_max import stable_max
+
+    c1, c2 = w1.shape[1], w2.shape[1]
+    g1 = jnp.asarray(1.0 + 0.1 * rng.normal(size=(c1,)), jnp.float32)
+    be1 = jnp.asarray(0.1 * rng.normal(size=(c1,)), jnp.float32)
+    g2 = jnp.asarray(1.0 + 0.1 * rng.normal(size=(c2,)), jnp.float32)
+    be2 = jnp.asarray(0.1 * rng.normal(size=(c2,)), jnp.float32)
+
+    def xla_train_edge(p):
+        e = get_edge_feature(p, idx)
+        pre1 = e @ w1 + b1
+        mu1 = jnp.mean(pre1, axis=(0, 1, 2))
+        v1 = jnp.mean(jnp.square(pre1), axis=(0, 1, 2)) - jnp.square(mu1)
+        h1 = jax.nn.relu((pre1 - mu1) * jax.lax.rsqrt(v1 + 1e-3) * g1 + be1)
+        pre2 = h1 @ w2 + b2
+        mu2 = jnp.mean(pre2, axis=(0, 1, 2))
+        v2 = jnp.mean(jnp.square(pre2), axis=(0, 1, 2)) - jnp.square(mu2)
+        h2 = jax.nn.relu((pre2 - mu2) * jax.lax.rsqrt(v2 + 1e-3) * g2 + be2)
+        return stable_max(h2, axis=2)
+
+    def fused_train_edge(p):
+        return fused_edge_stage_train(p, idx, w1, b1, g1, be1,
+                                      w2, b2, g2, be2,
+                                      precision="highest")[0]
+
+    with jax.default_matmul_precision("highest"):
+        want_t = np.asarray(jax.jit(xla_train_edge)(pts))
+        gw = np.asarray(jax.jit(jax.grad(
+            lambda p: jnp.sum(jnp.sin(xla_train_edge(p)))))(pts))
+    got_t = np.asarray(jax.jit(fused_train_edge)(pts))
+    gg = np.asarray(jax.jit(jax.grad(
+        lambda p: jnp.sum(jnp.sin(fused_train_edge(p)))))(pts))
+    rel_t = float(np.max(np.abs(got_t - want_t)) / np.max(np.abs(want_t)))
+    rel_g = float(np.linalg.norm(gg - gw)) / max(
+        float(np.linalg.norm(gw)), 1e-9)
+    rel_g_max = float(np.max(np.abs(gg - gw)) /
+                      max(float(np.max(np.abs(gw))), 1e-9))
+    record(name, (rel_t < 1e-3) and (rel_g < 1e-3),
+           rel_err=round(rel_t, 9), grad_rel_err=round(rel_g, 9),
+           grad_rel_err_max=round(rel_g_max, 9),
+           shape=f"B{pts.shape[0]} N{n} k{idx.shape[-1]}")
 
 
 def main():

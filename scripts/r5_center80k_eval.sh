@@ -20,6 +20,19 @@ if [ "$DEADLINE" -gt 0 ] && [ "$LEFT" -lt 900 ]; then
     exit 1
 fi
 
+# First claim of this TPU slot: the round-5 HIGHEST-precision smoke
+# rows (logic exactness with both sides f32-exact — see
+# onchip_smoke._check_edge_train_fused_highest). The dgcnn_probe gate
+# and the round-end fused-kernel verdict read this record.
+if [ ! -f /root/data/markers/smoke6hp_r5.done ]; then
+    timeout 1800 python scripts/smoke6_recheck.py \
+        || echo "[r5_center80k_eval] smoke6 HP recheck FAILED (see docs/onchip_smoke.json)"
+    git add docs/onchip_smoke.json
+    git commit -q -m "Record on-chip HIGHEST-precision logic-exactness rows for the fused edge-train kernel" \
+        || true
+    touch /root/data/markers/smoke6hp_r5.done
+fi
+
 B=SynthCars80kR4Base
 EB=$(ls /root/data/runs/$B | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1)
 echo "[r5_center80k_eval] base $B at epoch $EB"

@@ -20,10 +20,13 @@ import json
 try:
     r = json.load(open("docs/onchip_smoke.json"))
     c = r["checks"].get("edge_train_fused", {})
-    # the round-5 recheck adds a flagship-shape (N=1024) exactness row;
-    # if present it must pass too (index-corruption class scales with N)
-    c2 = r["checks"].get("edge_train_fused_n1024", {"ok": True})
-    good = c.get("ok") and c2.get("ok")
+    # round-5 gate: the default-precision row carries the bf16
+    # envelope + timing; LOGIC exactness is the two HIGHEST-precision
+    # rows (timing shape + flagship N=1024 shape, where the
+    # index-corruption class lives). All three must pass.
+    ch = r["checks"].get("edge_train_fused_highest", {})
+    c2 = r["checks"].get("edge_train_fused_n1024", {})
+    good = c.get("ok") and ch.get("ok") and c2.get("ok")
     print("yes" if (good and c.get("fused_wins")) else
           ("exact" if good else "no"))
 except Exception:

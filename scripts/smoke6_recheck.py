@@ -31,7 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from onchip_smoke import _check_edge_train_fused, timed_ms  # noqa: E402
+from onchip_smoke import (  # noqa: E402
+    _check_edge_train_fused,
+    _check_edge_train_fused_highest,
+    timed_ms,
+)
 
 
 def main():
@@ -72,55 +76,24 @@ def main():
     except Exception as e:  # compile failure must still record
         record("edge_train_fused", False, error=repr(e)[:300])
 
-    # flagship-shape exactness row (no timing): N=1024 puts 75% of
-    # neighbor indices above the bf16-exact integer range
+    # LOGIC-exactness rows (round-5): both sides at HIGHEST matmul
+    # precision, where bf16 near-tie routing flips vanish and only
+    # real bugs remain (see _check_edge_train_fused_highest). One at
+    # the timing shape, one at the flagship DGCNN shape — N=1024 puts
+    # 75% of neighbor indices above the bf16-exact integer range, the
+    # round-5 index-corruption class.
+    try:
+        _check_edge_train_fused_highest(record, rng, jnp, ptse, idxe,
+                                        w1, b1, w2, b2, ne)
+    except Exception as e:
+        record("edge_train_fused_highest", False, error=repr(e)[:300])
     be2, ne2 = (2, 640) if os.environ.get("SMOKE6_TINY") else (32, 1024)
     pts2 = jnp.asarray(rng.normal(size=(be2, ne2, 3)), jnp.float32)
     idx2 = knn(pairwise_distance(pts2), ke)
     try:
-        from alignnet3d_tpu.ops.edge_train_kernels import (
-            fused_edge_stage_train,
-        )
-        g1 = jnp.asarray(1.0 + 0.1 * rng.normal(size=(64,)), jnp.float32)
-        be_1 = jnp.asarray(0.1 * rng.normal(size=(64,)), jnp.float32)
-        g2 = jnp.asarray(1.0 + 0.1 * rng.normal(size=(128,)), jnp.float32)
-        be_2 = jnp.asarray(0.1 * rng.normal(size=(128,)), jnp.float32)
-
-        from alignnet3d_tpu.ops.knn import get_edge_feature
-        from alignnet3d_tpu.ops.stable_max import stable_max
-
-        def xla_train_edge(p):
-            # stable_max reference: jit(grad) of the plain jnp.max graph
-            # is itself wrong (ops/stable_max.py module doc)
-            e = get_edge_feature(p, idx2)
-            pre1 = e @ w1 + b1
-            mu1 = jnp.mean(pre1, axis=(0, 1, 2))
-            v1 = jnp.mean(jnp.square(pre1), axis=(0, 1, 2)) - jnp.square(mu1)
-            h1 = jax.nn.relu(
-                (pre1 - mu1) * jax.lax.rsqrt(v1 + 1e-3) * g1 + be_1)
-            pre2 = h1 @ w2 + b2
-            mu2 = jnp.mean(pre2, axis=(0, 1, 2))
-            v2 = jnp.mean(jnp.square(pre2), axis=(0, 1, 2)) - jnp.square(mu2)
-            h2 = jax.nn.relu(
-                (pre2 - mu2) * jax.lax.rsqrt(v2 + 1e-3) * g2 + be_2)
-            return stable_max(h2, axis=2)
-
-        def fused_train_edge(p):
-            return fused_edge_stage_train(p, idx2, w1, b1, g1, be_1,
-                                          w2, b2, g2, be_2)[0]
-
-        gw = np.asarray(jax.jit(jax.grad(
-            lambda p: jnp.sum(jnp.sin(xla_train_edge(p)))))(pts2))
-        gg = np.asarray(jax.jit(jax.grad(
-            lambda p: jnp.sum(jnp.sin(fused_train_edge(p)))))(pts2))
-        rel_g = float(np.linalg.norm(gg - gw)) / max(
-            float(np.linalg.norm(gw)), 1e-9)
-        rel_g_max = float(np.max(np.abs(gg - gw)) /
-                          max(float(np.max(np.abs(gw))), 1e-9))
-        record("edge_train_fused_n1024", rel_g < 2e-2,
-               grad_rel_err=round(rel_g, 7),
-               grad_rel_err_max=round(rel_g_max, 7),
-               shape=f"B{be2} N{ne2} k{ke}")
+        _check_edge_train_fused_highest(record, rng, jnp, pts2, idx2,
+                                        w1, b1, w2, b2, ne2,
+                                        name="edge_train_fused_n1024")
     except Exception as e:
         record("edge_train_fused_n1024", False, error=repr(e)[:300])
 
