@@ -61,6 +61,10 @@ class ModelSpec:
     # OFF until an on-chip record lands (docs/onchip_smoke.json);
     # opt in via model.options.dgcnn_fused_train
     dgcnn_fused_train: bool = False
+    # DECIDED round 5 (docs/stable_max_onchip.json): stays OFF — the
+    # XLA max-VJP drop is CPU-backend-specific; on TPU jit plain-max
+    # and jit stable-max gradients are bit-identical (pointnet) /
+    # 0.11% rel-L2 (dgcnn). Flag remains for CPU-backend training.
     # Remat-stable max-pool gradient routing (ops/stable_max.py): works
     # around XLA's reduce_max VJP dropping cotangents under jit (round-5
     # finding, tests/test_stable_max.py). Forward values identical; the
