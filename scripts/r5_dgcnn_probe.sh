@@ -60,17 +60,24 @@ EOF
     timeout "$BUDGET" python train.py train --config /root/data/SynthCars40kDGCNNFusedProbe_r5.json \
         > /root/data/probe_SynthCars40kDGCNNFusedProbe_r5.log 2>&1 || true
     grep -E "Finished epoch" /root/data/probe_SynthCars40kDGCNNFusedProbe_r5.log || true
-    echo "== reference probes (same box, round-4 warm session) =="
-    grep -E "Finished epoch" /root/data/probe_SynthCars40kDGCNNProbe.log 2>/dev/null | tail -3 || true
-    grep -E "Finished epoch" /root/data/probe_SynthCars40kPN512Probe.log 2>/dev/null | tail -3 || true
+    # same-box unfused premium baseline (round-4 logs died with the box)
+    if [ "$(left)" -gt 2400 ]; then
+        echo "== probe SynthCars40kDGCNNProbe (unfused, same box) =="
+        timeout 1800 python train.py train --config configs/SynthCars40kDGCNNProbe.json \
+            > /root/data/probe_SynthCars40kDGCNNProbe.log 2>&1 || true
+        grep -E "Finished epoch" /root/data/probe_SynthCars40kDGCNNProbe.log || true
+    fi
 fi
 
 # ---- p2plane radius micro-sweep (VERDICT r4 item 6c): chase the <2cm
 # bucket against the 160k flagship's 0.1-radius default. Two rows,
 # ~10 min each, skipped individually when the window closes.
-N=SynthCars160kCenterSup
-RUN=/root/data/runs/$N
-E=$(ls "$RUN" 2>/dev/null | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1 || true)
+E=
+for N in SynthCars80kCenterSupScratch SynthCars160kCenterSup; do
+    RUN=/root/data/runs/$N
+    E=$(ls "$RUN" 2>/dev/null | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1 || true)
+    [ -n "$E" ] && break
+done
 if [ -n "$E" ]; then
     for R in 0.05 0.15; do
         if [ "$(left)" -lt 1500 ]; then
@@ -85,31 +92,14 @@ c = json.load(open(f"configs/{name}.json"))
 c["evaluation"]["refinement"]["radius"] = radius
 json.dump(c, open(f"/root/data/{name}Rad{tag}_eval.json", "w"), indent=4)
 PYEOF
-        echo "== p2plane radius $R (160k flagship val, refined) =="
+        echo "== p2plane radius $R ($N val, refined) =="
         timeout 1800 python scripts/eval_with_config.py \
             "/root/data/${N}Rad${TAG}_eval.json" $E "$RUN" \
             --refineICP --method p2plane || true
     done
 fi
 
-# ---- buffer consumer, priority 1: FINISH the 160k flagship if its
-# timebox cut it short (~epoch 103/120 expected), then re-run the
-# eval slot for final rows (rerunnable: markers skip the smoke, eval
-# dirs are freshly named). The flagship's final LR-schedule epochs
-# are worth more than a redundant same-scale 80k center arm.
-WANT=$(python -c "import json; print(json.load(open('configs/$N.json'))['training']['num_epochs'] - 1)")
-if [ -n "$E" ] && [ "$E" -lt "$WANT" ] && [ "$(left)" -ge 2400 ]; then
-    RBUDGET=$(($(left) - 1800))  # keep room for the re-eval
-    [ "$RBUDGET" -gt 4800 ] && RBUDGET=4800
-    echo "== finishing $N: epoch $E -> $WANT (${RBUDGET}s box) =="
-    timeout -k 60 "$RBUDGET" bash scripts/train_supervised.sh \
-        "configs/$N.json" 1800 || echo "[r5_finish160k] time-boxed (rc=$?)"
-    if [ "$(left)" -ge 1200 ]; then
-        bash scripts/r5_eval160k.sh || true
-    fi
-fi
-
-# ---- buffer consumer, priority 2: DGCNN retrain on CORRECTED
+# ---- buffer consumer: DGCNN retrain on CORRECTED
 # gradients (round-5 finding: XLA's jit max-VJP dropped 58% of the
 # DGCNN training gradient in rel-L2 — every historical DGCNN row
 # trained on those gradients, incl. round-3's 79.2% <20cm at

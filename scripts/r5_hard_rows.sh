@@ -24,13 +24,15 @@ if [ "$(left)" -lt 900 ]; then
     exit 1
 fi
 
-N=SynthCars160kCenterSup
-RUN=/root/data/runs/$N
-E=$(ls "$RUN" 2>/dev/null | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1 || true)
-if [ -z "$E" ]; then
-    N=SynthCars80kR4Base
+E=
+for N in SynthCars80kCenterSupScratch SynthCars160kCenterSup SynthCars80kR4Base; do
     RUN=/root/data/runs/$N
-    E=$(ls "$RUN" | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1)
+    E=$(ls "$RUN" 2>/dev/null | sed -n 's/^model-\([0-9]*\)\.msgpack$/\1/p' | sort -n | tail -1 || true)
+    [ -n "$E" ] && break
+done
+if [ -z "$E" ]; then
+    echo "[r5_hard_rows] no flagship checkpoint found"
+    exit 1
 fi
 echo "[r5_hard_rows] flagship $N at epoch $E"
 
