@@ -37,6 +37,16 @@ def main():
     os.makedirs(MARKERS, exist_ok=True)
     with open("/tmp/queue.pid", "w") as f:
         f.write(str(os.getpid()))
+    # register as a stoppable TPU chain root: bench.py's serialization
+    # guard stops tpu-chain-*.pid roots plus descendants before touching
+    # the TPU, so the driver's round-end bench cleanly terminates a
+    # still-draining queue (incl. un-registered eval clients) instead of
+    # colliding with it mid-dispatch
+    with open("/tmp/tpu-chain-queue.pid", "w") as f:
+        f.write(str(os.getpid()))
+    import atexit
+    atexit.register(lambda: os.path.exists("/tmp/tpu-chain-queue.pid")
+                    and os.remove("/tmp/tpu-chain-queue.pid"))
     log(f"manifest {manifest}: {len(steps)} steps")
     for step in steps:
         sid, cmd = step["id"], step["cmd"]
