@@ -117,5 +117,12 @@ def batch_sharding(mesh: Mesh):
     return NamedSharding(mesh, P("dp"))
 
 
+def multi_batch_sharding(mesh: Mesh):
+    """(K, B, ...) stacked-step batches: 'dp' shards the BATCH axis (1);
+    the steps-per-dispatch axis (0) is a sequential lax.scan dimension and
+    must stay unsharded."""
+    return NamedSharding(mesh, P(None, "dp"))
+
+
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())

@@ -376,6 +376,26 @@ class Trainer:
         }
         return new_state, metrics
 
+    def _train_multi_step_fn(self, state: TrainState, batches, rngs):
+        """K sequential optimizer steps in ONE device dispatch.
+
+        ``batches`` is the usual 8-tuple with a leading steps axis
+        (K, B, ...) and ``rngs`` a (K,)-stacked key array; a lax.scan
+        over the K slices reproduces the single-step path's semantics
+        exactly (per-step schedules read state.step inside, the rng
+        stream is the same keys the K=1 loop would have drawn). On
+        tunneled TPU devices each dispatch costs ~25 ms RTT + host
+        bookkeeping regardless of compute, so amortizing K steps per
+        dispatch removes the dominant term of the training step time
+        (measured: host batch assembly is 3 ms/batch; the observed
+        ~136 ms/step is dispatch-bound). Enabled via
+        ``tpu.steps_per_dispatch`` > 1."""
+        def body(st, xs):
+            batch, rng = xs
+            return self._train_step_fn(st, batch, rng)
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
     def _eval_step_fn(self, state: TrainState, batch):
         pcs1, pcs2, translations, rel_angles, c1, c2, a1, a2 = batch
         out = self.model.apply(
@@ -392,12 +412,27 @@ class Trainer:
         if name in self._jit_cache:
             return self._jit_cache[name]
         if self.use_mesh:
-            dummy = self.init_state()
-            st_shard = meshlib.state_shardings(dummy, self.mesh)
+            if "state_shardings" not in self._jit_cache:
+                dummy = self.init_state()
+                self._jit_cache["state_shardings"] = meshlib.state_shardings(
+                    dummy, self.mesh
+                )
+                del dummy
+            st_shard = self._jit_cache["state_shardings"]
             b_shard = meshlib.batch_sharding(self.mesh)
             rep = meshlib.replicated(self.mesh)
-            del dummy
             batch_shards = (b_shard,) * 8
+            if name == "train_multi":
+                # built lazily: only tpu.steps_per_dispatch>1 runs pay
+                # its compile
+                mb_shards = (meshlib.multi_batch_sharding(self.mesh),) * 8
+                self._jit_cache["train_multi"] = jax.jit(
+                    self._train_multi_step_fn,
+                    in_shardings=(st_shard, mb_shards, rep),
+                    out_shardings=(st_shard, rep),
+                    donate_argnums=(0,),
+                )
+                return self._jit_cache["train_multi"]
             train = jax.jit(
                 self._train_step_fn,
                 in_shardings=(st_shard, batch_shards, rep),
@@ -409,8 +444,12 @@ class Trainer:
                 in_shardings=(st_shard, batch_shards),
                 out_shardings=(rep, rep),
             )
-            self._jit_cache["state_shardings"] = st_shard
         else:
+            if name == "train_multi":
+                self._jit_cache["train_multi"] = jax.jit(
+                    self._train_multi_step_fn, donate_argnums=(0,)
+                )
+                return self._jit_cache["train_multi"]
             train = jax.jit(self._train_step_fn, donate_argnums=(0,))
             evalf = jax.jit(self._eval_step_fn)
         self._jit_cache["train"] = train
@@ -632,16 +671,58 @@ class Trainer:
                 )
             return batch
 
+        # steps-per-dispatch: amortize the per-dispatch tunnel RTT over K
+        # optimizer steps (lax.scan inside one jit — _train_multi_step_fn).
+        # Single-process only: the stacked (K, B, ...) host assembly does
+        # not compose with multihost.global_batch's per-process shards.
+        k_steps = (
+            self.cfg.tpu.steps_per_dispatch
+            if self.cfg.has("tpu") and self.cfg.tpu.has("steps_per_dispatch")
+            else 1
+        )
+        if self.num_processes > 1 and k_steps > 1:
+            logger.info("tpu.steps_per_dispatch ignored under multi-process")
+            k_steps = 1
+        k_steps = max(1, min(int(k_steps), max(num_batches, 1)))
+
+        if k_steps > 1:
+            train_fn = self._get_jitted("train_multi")
+            # full-K chunks plus at most one remainder chunk: the two
+            # shapes each compile once per process, every epoch reuses
+            chunk_sizes = [
+                min(k_steps, num_batches - s)
+                for s in range(0, num_batches, k_steps)
+            ]
+            chunk_offsets = np.cumsum([0] + chunk_sizes[:-1])
+
+            def make_dispatch(j):
+                rows = [make(int(chunk_offsets[j]) + t)
+                        for t in range(chunk_sizes[j])]
+                return tuple(
+                    np.stack([r[a] for r in rows]) for a in range(8)
+                )
+
+            num_dispatches = len(chunk_sizes)
+        else:
+            make_dispatch = make
+            num_dispatches = num_batches
+
         step_metrics = []  # dicts of device scalars — no per-step host sync
         profiling = False
         for batch_idx, batch in enumerate(progress(
-            provider.PrefetchIterator(make, num_batches, prefetch),
-            desc=f"train epoch {epoch}", total=num_batches,
+            provider.PrefetchIterator(make_dispatch, num_dispatches, prefetch),
+            desc=f"train epoch {epoch}", total=num_dispatches,
         )):
             if profile_steps and batch_idx == 1:  # skip compile step
                 jax.profiler.start_trace(profile_cfg.dir)
                 profiling = True
-            state, metrics = train_fn(state, batch, self._next_rng())
+            if k_steps > 1:
+                rngs = jnp.stack(
+                    [self._next_rng() for _ in range(batch[0].shape[0])]
+                )
+                state, metrics = train_fn(state, batch, rngs)
+            else:
+                state, metrics = train_fn(state, batch, self._next_rng())
             step_metrics.append(metrics)
             if profiling and batch_idx + 1 >= 1 + profile_steps:
                 jax.profiler.stop_trace()
@@ -652,9 +733,11 @@ class Trainer:
         # single readback per epoch: the per-step float() sync costs a full
         # dispatch round-trip each step on tunneled devices
         if step_metrics:
-            stacked = jax.device_get(
-                jax.tree.map(lambda *xs: jnp.stack(xs), *step_metrics)
-            )
+            stacked = jax.device_get(jax.tree.map(
+                (lambda *xs: jnp.concatenate(xs)) if k_steps > 1
+                else (lambda *xs: jnp.stack(xs)),
+                *step_metrics,
+            ))
             loss_vals = np.asarray(stacked["losses/loss"])
             bad = ~np.isfinite(loss_vals)
             if bad.any():
@@ -1070,12 +1153,22 @@ class Trainer:
                 )
                 logger.info("Initial evaluation finished")
 
+        # evaluation.eval_every (default 1 = reference semantics,
+        # train.py evals every epoch): at N>1 the full val pass (dual
+        # eval + artifact writes, ~5x one epoch's step time on tunneled
+        # devices) runs every Nth epoch and always on the last — a
+        # wall-clock lever for long runs; eval_only is never skipped
+        eval_every = (
+            cfg.evaluation.eval_every
+            if cfg.evaluation.has("eval_every") else 1
+        )
         try:
             start = time.time()
             for epoch in range(start_epoch, cfg.training.num_epochs):
                 logger.info("**** EPOCH %03d ****" % epoch)
                 if not eval_only:
                     state = self.train_one_epoch(state, epoch, train_writer)
+                was_last = epoch == cfg.training.num_epochs - 1
                 if do_timings:
                     for _ in range(10):
                         self.eval_one_epoch(
@@ -1083,7 +1176,7 @@ class Trainer:
                             do_timings=True,
                             override_batch_size=override_batch_size,
                         )
-                else:
+                elif eval_only or was_last or epoch % eval_every == 0:
                     self.eval_one_epoch(
                         state, epoch, eval_only=eval_only,
                         refine_icp=refine_icp, icp_its=icp_its,
@@ -1094,7 +1187,6 @@ class Trainer:
                 if eval_only:
                     break
 
-                was_last = epoch == cfg.training.num_epochs - 1
                 if epoch % 2 == 0 or was_last:
                     self.save_checkpoint(state, "model.ckpt")
                 if (epoch % 5 == 0 or was_last

@@ -99,6 +99,34 @@ PYEOF
     done
 fi
 
+# ---- steps-per-dispatch on-chip probe: measure the multi-step
+# (lax.scan-in-one-jit) training path vs the per-step dispatch on the
+# PN512 probe shapes (trainer._train_multi_step_fn, round-5 final
+# session). 3 epochs each; the s/epoch pair is the RESULTS datum.
+if [ "$(left)" -ge 1800 ]; then
+    python - <<'EOF'
+import json
+c = json.load(open("configs/SynthCars40kPN512Probe.json"))
+c["logging"] = {"basedir": "/root/data/runs"}
+# eval only first/last: epoch 1's wall time is then the pure
+# train-dispatch signal in both arms
+c["evaluation"]["eval_every"] = 5
+json.dump(c, open("/root/data/SynthCars40kPN512ProbeK1.json", "w"), indent=4)
+c["tpu"] = dict(c.get("tpu", {}), steps_per_dispatch=8)
+json.dump(c, open("/root/data/SynthCars40kPN512ProbeK8.json", "w"), indent=4)
+print("multistep probe configs written")
+EOF
+    for V in K1 K8; do
+        echo "== probe PN512 steps_per_dispatch $V =="
+        timeout 900 python train.py train \
+            --config /root/data/SynthCars40kPN512Probe${V}.json \
+            > /root/data/probe_PN512_${V}.log 2>&1 || true
+        grep -E "Finished epoch" /root/data/probe_PN512_${V}.log || true
+    done
+else
+    echo "[r5_multistep_probe] $(left)s left — skipping"
+fi
+
 # ---- buffer consumer: DGCNN retrain on CORRECTED
 # gradients (round-5 finding: XLA's jit max-VJP dropped 58% of the
 # DGCNN training gradient in rel-L2 — every historical DGCNN row

@@ -19,7 +19,10 @@ if [ -z "$E" ]; then
 fi
 WANT=$(python -c "import json; print(json.load(open('configs/$N.json'))['training']['num_epochs'] - 1)")
 DEADLINE=$(cat /root/data/r5_deadline.txt 2>/dev/null || echo 0)
-if [ "$E" -lt "$WANT" ] && [ "$DEADLINE" -gt 0 ]; then
+# finish only a genuinely short run: past epoch ~90 the round-3 80k
+# trajectory is already in its flat tail (85/55 bars cleared by epoch
+# 89) and the remaining TPU window is worth more as Hard/probe rows
+if [ "$E" -lt 90 ] && [ "$E" -lt "$WANT" ] && [ "$DEADLINE" -gt 0 ]; then
     FBUDGET=$((DEADLINE - 6600 - $(date +%s)))   # keep eval+hard+probe alive
     if [ "$FBUDGET" -gt 3600 ]; then FBUDGET=3600; fi
     if [ "$FBUDGET" -gt 900 ]; then
